@@ -1,0 +1,152 @@
+"""Synthetic truth models, acquisition geometries, and noisy arrivals.
+
+Validation follows the reference's posture (SURVEY.md §0 item 5): smooth
+checkerboard velocity anomalies + crosswell / surface-array geometries;
+posterior recovery of the checkerboard is the correctness criterion.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mceik_tpu.config import DataCfg, ModelCfg
+from mceik_tpu.eikonal.solve import EikonalConfig
+from mceik_tpu.forward.predict import predict_events, predict_tomo, traveltime_tables
+from mceik_tpu.grid import Grid
+from mceik_tpu.model.data import EventData, TomoData
+
+
+def checkerboard_slowness(
+    grid: Grid,
+    cells: Tuple[int, ...],
+    amplitude: float,
+    background: float = 1.0,
+) -> jnp.ndarray:
+    """Smooth sinusoidal checkerboard: s = s_bg * exp(A * prod_d sin(pi k_d x_d / L_d)).
+
+    The smooth (sine) variant is standard in tomography resolution tests and
+    is representable by the coarse inversion basis, so posterior-mean
+    recovery is a meaningful correctness check.
+    """
+    axes = grid.axes()
+    ext = grid.extent
+    pattern = jnp.ones(grid.shape, dtype=jnp.float32)
+    for d in range(grid.ndim):
+        x = jnp.asarray((axes[d] - grid.origin[d]) / max(ext[d], 1e-12))
+        sd = jnp.sin(jnp.pi * cells[d] * x).astype(jnp.float32)
+        shape = [1] * grid.ndim
+        shape[d] = grid.shape[d]
+        pattern = pattern * sd.reshape(shape)
+    return background * jnp.exp(amplitude * pattern)
+
+
+def crosswell_geometry(grid: Grid, n_src: int, n_rec: int, margin_frac: float = 0.08):
+    """2-D crosswell: sources down one well, receivers down the other."""
+    assert grid.ndim == 2
+    (x0, y0), (ex, ey) = grid.origin, grid.extent
+    m = margin_frac
+    src = np.stack(
+        [np.full(n_src, x0 + m * ex),
+         y0 + ey * np.linspace(m, 1 - m, n_src)], axis=-1)
+    rec = np.stack(
+        [np.full(n_rec, x0 + (1 - m) * ex),
+         y0 + ey * np.linspace(m, 1 - m, n_rec)], axis=-1)
+    return jnp.asarray(src, jnp.float32), jnp.asarray(rec, jnp.float32)
+
+
+def surface_array_geometry(grid: Grid, n_sta: int, seed: int = 0):
+    """3-D: stations scattered on the free surface (min z plane)."""
+    assert grid.ndim == 3
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(grid.origin)
+    ext = np.asarray(grid.extent)
+    xy = lo[:2] + ext[:2] * (0.05 + 0.9 * rng.random((n_sta, 2)))
+    z = np.full((n_sta, 1), lo[2])
+    return jnp.asarray(np.concatenate([xy, z], axis=-1), jnp.float32)
+
+
+def borehole_3d_geometry(grid: Grid, n_src: int, n_rec: int):
+    """3-D crosswell-like: sources on one face, receivers on opposite face,
+    laid out on a coarse face grid (for the checkerboard-3d tomography
+    config where sources are known)."""
+    assert grid.ndim == 3
+    lo = np.asarray(grid.origin)
+    ext = np.asarray(grid.extent)
+
+    def face_points(n, xfrac):
+        k = int(np.ceil(np.sqrt(n)))
+        ys = lo[1] + ext[1] * np.linspace(0.1, 0.9, k)
+        zs = lo[2] + ext[2] * np.linspace(0.1, 0.9, k)
+        Y, Z = np.meshgrid(ys, zs, indexing="ij")
+        pts = np.stack([np.full(k * k, lo[0] + xfrac * ext[0]),
+                        Y.ravel(), Z.ravel()], axis=-1)
+        return pts[:n]
+
+    return (jnp.asarray(face_points(n_src, 0.05), jnp.float32),
+            jnp.asarray(face_points(n_rec, 0.95), jnp.float32))
+
+
+def crosswell_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
+                      eik: EikonalConfig = EikonalConfig()):
+    """Config 1: 2-D crosswell arrivals through a checkerboard truth."""
+    s_true = checkerboard_slowness(grid, dcfg.checker_cells,
+                                   dcfg.checker_amplitude,
+                                   mcfg.background_slowness)
+    src, rec = crosswell_geometry(grid, dcfg.n_src, dcfg.n_rec)
+    t_clean = predict_tomo(s_true, src, rec, grid, eik)
+    key = jax.random.PRNGKey(dcfg.seed)
+    t_obs = t_clean + dcfg.noise * jax.random.normal(key, t_clean.shape)
+    return TomoData(src_xyz=src, rec_xyz=rec, t_obs=t_obs), s_true
+
+
+def checkerboard3d_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
+                           eik: EikonalConfig = EikonalConfig()):
+    """Config 2: 3-D checkerboard, borehole-face acquisition, known sources."""
+    s_true = checkerboard_slowness(grid, dcfg.checker_cells,
+                                   dcfg.checker_amplitude,
+                                   mcfg.background_slowness)
+    src, rec = borehole_3d_geometry(grid, dcfg.n_src, dcfg.n_rec)
+    t_clean = predict_tomo(s_true, src, rec, grid, eik)
+    key = jax.random.PRNGKey(dcfg.seed)
+    t_obs = t_clean + dcfg.noise * jax.random.normal(key, t_clean.shape)
+    return TomoData(src_xyz=src, rec_xyz=rec, t_obs=t_obs), s_true
+
+
+def events_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
+                   eik: EikonalConfig = EikonalConfig()):
+    """Config 3/5: surface stations + interior earthquakes, checkerboard
+    truth; returns (EventData, s_true, hypo_true, t0_true)."""
+    s_true = checkerboard_slowness(grid, dcfg.checker_cells,
+                                   dcfg.checker_amplitude,
+                                   mcfg.background_slowness)
+    sta = surface_array_geometry(grid, dcfg.n_stations, seed=dcfg.seed)
+    rng = np.random.default_rng(dcfg.seed + 1)
+    lo = np.asarray(grid.origin)
+    ext = np.asarray(grid.extent)
+    hypo = jnp.asarray(lo + ext * (0.15 + 0.7 * rng.random((dcfg.n_events, grid.ndim))),
+                       jnp.float32)
+    t0 = jnp.asarray(0.2 * rng.standard_normal(dcfg.n_events), jnp.float32)
+    tables = traveltime_tables(s_true, sta, grid, eik)
+    t_clean = predict_events(tables, hypo, t0, grid)
+    key = jax.random.PRNGKey(dcfg.seed + 2)
+    t_obs = t_clean + dcfg.noise * jax.random.normal(key, t_clean.shape)
+    return EventData(sta_xyz=sta, t_obs=t_obs), s_true, hypo, t0
+
+
+def make_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
+                 eik: EikonalConfig = EikonalConfig()):
+    """Dispatch on DataCfg.dataset; returns (data, truth_dict)."""
+    if dcfg.dataset == "crosswell2d":
+        data, s_true = crosswell_dataset(grid, dcfg, mcfg, eik)
+        return data, {"slowness": s_true}
+    if dcfg.dataset == "checkerboard3d":
+        data, s_true = checkerboard3d_dataset(grid, dcfg, mcfg, eik)
+        return data, {"slowness": s_true}
+    if dcfg.dataset == "events3d":
+        data, s_true, hypo, t0 = events_dataset(grid, dcfg, mcfg, eik)
+        return data, {"slowness": s_true, "hypo": hypo, "t0": t0}
+    raise ValueError(f"unknown dataset {dcfg.dataset!r}")

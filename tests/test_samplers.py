@@ -1,0 +1,85 @@
+"""Sampler kernel correctness on closed-form targets (SURVEY.md §4
+"Unit: samplers"): moment recovery within MC error, acceptance sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mceik_tpu.samplers import am, hmc, rwm
+from mceik_tpu.samplers.base import init_chain_states, run_mcmc
+from mceik_tpu.diag.moments import welford_finalize, welford_merge_chains
+from mceik_tpu.diag.ess import ess, split_rhat
+
+
+# Anisotropic correlated 2-D Gaussian target.
+COV = np.array([[1.0, 0.6], [0.6, 4.0]])
+PREC = np.linalg.inv(COV)
+MEAN = np.array([1.0, -2.0])
+
+
+def logpost(x):
+    d = x - jnp.asarray(MEAN, jnp.float32)
+    return -0.5 * d @ jnp.asarray(PREC, jnp.float32) @ d
+
+
+def init_params(key):
+    return jax.random.normal(key, (2,), jnp.float32)
+
+
+def _pooled_moments(result):
+    mean, var = welford_finalize(welford_merge_chains(result.welford))
+    return np.asarray(mean), np.asarray(var)
+
+
+def _check_moments(result, mean_tol, var_rtol):
+    mean, var = _pooled_moments(result)
+    np.testing.assert_allclose(mean, MEAN, atol=mean_tol)
+    np.testing.assert_allclose(var, np.diag(COV), rtol=var_rtol)
+
+
+def test_rwm_gaussian():
+    scales = jnp.ones(2)
+    states = init_chain_states(logpost, init_params, jax.random.PRNGKey(0), 8)
+    result = run_mcmc(
+        rwm.make_kernel(logpost), rwm.make_adapter(),
+        states, rwm.init_hyper(scales, 0.5),
+        jax.random.PRNGKey(1), n_warmup=500, n_steps=4000)
+    _check_moments(result, mean_tol=0.25, var_rtol=0.35)
+    acc = float(np.mean(np.asarray(result.accept_trace)))
+    assert 0.1 < acc < 0.5, acc
+    assert split_rhat(np.asarray(result.samples)).max() < 1.2
+
+
+def test_am_gaussian():
+    scales = jnp.ones(2)
+    states = init_chain_states(logpost, init_params, jax.random.PRNGKey(0), 8)
+    ex = init_params(jax.random.PRNGKey(9))
+    result = run_mcmc(
+        am.make_kernel(logpost), am.make_adapter(),
+        states, am.init_hyper(scales, 1.0, ex),
+        jax.random.PRNGKey(1), n_warmup=1000, n_steps=4000)
+    _check_moments(result, mean_tol=0.25, var_rtol=0.35)
+    # Adapted per-coordinate std should reflect the 1:2 marginal std ratio.
+    m2 = np.asarray(result.hyper.welford.m2)
+    n = float(result.hyper.welford.count)
+    adapted_std = np.sqrt(m2 / (n - 1))
+    ratio = adapted_std[1] / adapted_std[0]
+    assert 1.4 < ratio < 2.8, ratio
+
+
+def test_hmc_gaussian():
+    scales = jnp.ones(2)
+    states = init_chain_states(logpost, init_params, jax.random.PRNGKey(0), 8)
+    ex = init_params(jax.random.PRNGKey(9))
+    result = run_mcmc(
+        hmc.make_kernel(logpost, n_leapfrog=8), hmc.make_adapter(),
+        states, hmc.init_hyper(scales, 0.2, ex),
+        jax.random.PRNGKey(1), n_warmup=500, n_steps=2000,
+        finalize_fn=hmc.finalize)
+    _check_moments(result, mean_tol=0.2, var_rtol=0.3)
+    acc = float(np.mean(np.asarray(result.accept_trace)))
+    assert acc > 0.55, acc
+    # HMC should mix far better than RWM: decent ESS on the slow coordinate.
+    x1 = np.asarray(result.samples)[:, :, 1]
+    assert ess(x1) > 200, ess(x1)
