@@ -81,8 +81,8 @@ def make_kernel(logpost_fn: Callable) -> Callable:
     return kernel
 
 
-def make_adapter(target_accept: float = 0.234, gamma0: float = 0.5,
-                 t0: float = 10.0, kappa: float = 0.6) -> Callable:
+def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
+                 t0: float = 3.0, kappa: float = 0.5) -> Callable:
     def adapt(hyper: AMHyper, pooled, states: MHState, t):
         g = gamma0 / (t0 + t) ** kappa
         log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)

@@ -60,7 +60,8 @@ def _one_step(kernel, states, hyper, key):
 
 
 @partial(jax.jit, static_argnames=("kernel", "adapt_fn", "n_warmup", "n_steps",
-                                   "thin", "track_fn", "finalize_fn"))
+                                   "thin", "track_fn", "finalize_fn",
+                                   "collect_fn"))
 def run_mcmc(
     kernel: Callable,
     adapt_fn: Optional[Callable],
@@ -72,19 +73,25 @@ def run_mcmc(
     thin: int = 1,
     track_fn: Optional[Callable] = None,
     finalize_fn: Optional[Callable] = None,
+    collect_fn: Optional[Callable] = None,
 ) -> MCMCResult:
     """Run warmup (with adaptation) then sampling (with collection).
 
     kernel:      (key, state, hyper) -> (state, info); info must contain
                  "accept_prob" (per-chain scalar in [0, 1]).
     adapt_fn:    (hyper, pooled_info, states, t) -> hyper, or None.
-    track_fn:    params -> pytree whose moments/draws are recorded
-                 (default: the params themselves).
+    track_fn:    params -> pytree whose *online moments* are accumulated
+                 every step (may include derived fields like the slowness
+                 grid — no storage cost). Default: the params themselves.
+    collect_fn:  params -> pytree *stored* every `thin` steps (keep small).
+                 Default: track_fn.
     finalize_fn: hyper -> hyper applied once after warmup (e.g. switch to
                  the dual-averaged step size).
     """
     if track_fn is None:
         track_fn = lambda p: p
+    if collect_fn is None:
+        collect_fn = track_fn
 
     def warmup_step(carry, t):
         states, hyper, k = carry
@@ -120,7 +127,7 @@ def run_mcmc(
         (states, welford, acc, k), _ = lax.scan(
             inner_step, (states, welford, jnp.zeros((n_chains,)), k),
             None, length=thin)
-        draw = jax.vmap(track_fn)(states.params)
+        draw = jax.vmap(collect_fn)(states.params)
         return (states, welford, k), (draw, states.logpost, acc / thin)
 
     (states, welford, _), (samples, logpost_trace, accept_trace) = lax.scan(

@@ -50,8 +50,12 @@ def make_kernel(logpost_fn: Callable) -> Callable:
     return kernel
 
 
-def make_adapter(target_accept: float = 0.234, gamma0: float = 0.5,
-                 t0: float = 10.0, kappa: float = 0.6) -> Callable:
+def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
+                 t0: float = 3.0, kappa: float = 0.5) -> Callable:
+    """Robbins-Monro log-step adaptation. The schedule must be strong
+    enough to move log_step by O(5-10) within a warmup: cumulative
+    capacity ~ gamma0 * err * 2*sqrt(T), so gamma0 ~ 1.5 handles even a
+    1e-3x mis-specified initial step within a few hundred steps."""
     def adapt(hyper: RWMHyper, pooled, states, t):
         g = gamma0 / (t0 + t) ** kappa
         log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)
