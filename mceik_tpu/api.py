@@ -74,7 +74,8 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     eik = EikonalConfig(method=config.eikonal.method, tol=config.eikonal.tol,
                         max_iters=config.eikonal.max_iters,
                         n_inner=config.eikonal.n_inner,
-                        seed_radius=config.eikonal.seed_radius)
+                        seed_radius=config.eikonal.seed_radius,
+                        use_pallas=config.eikonal.use_pallas)
     data, truth = make_dataset(grid, config.data, config.model, eik)
 
     differentiable = config.sampler.algorithm in ("hmc", "nuts")

@@ -1,0 +1,94 @@
+"""Differentiable eikonal solve via the implicit-function adjoint
+(SURVEY.md §7 M5, §3.3; reference capability per BASELINE.json "NUTS/HMC
+over slowness fields").
+
+Unrolling sweep iterations through AD is memory-infeasible; instead we use
+the fixed-point structure. The converged field satisfies ``T* = F(T*, s)``
+with ``F`` the monotone Godunov update (godunov.godunov_update plus frozen
+source seeding). The VJP of ``solve`` w.r.t. slowness is
+
+    lambda = (dF/dT)^T lambda + g        (linear fixed point, g = dL/dT*)
+    dL/ds  = (dF/ds)^T lambda
+
+where each application of ``(dF/dT)^T`` is one ``jax.vjp`` of the cheap
+one-step update at the converged point — an upwind *transport* operator
+whose iteration converges in at most O(grid diameter) steps (information
+flows along reverse characteristics; the Jacobian is effectively nilpotent
+on the upwind DAG). No sweep history is ever stored: residuals are just
+``(s, src, T*)``.
+
+Gradients w.r.t. the source position flow through the analytic seed and are
+returned too (hypocenter gradients normally bypass the solver entirely via
+reciprocity — see forward/predict.py — but locate-style uses get them for
+free here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mceik_tpu.eikonal.godunov import godunov_update
+from mceik_tpu.eikonal.solve import EikonalConfig, seed_source, solve_eikonal
+from mceik_tpu.grid import Grid
+
+
+def _fixed_point_map(T, slowness, src_xyz, grid: Grid, config: EikonalConfig):
+    """One monotone update including the (s, src)-dependent source seed.
+
+    This is the map whose fixed point the forward solvers converge to;
+    differentiating it once gives both dF/dT and dF/ds for the adjoint.
+    """
+    T0, frozen = seed_source(slowness, src_xyz, grid, config.seed_radius)
+    T_new = godunov_update(T, slowness, grid.spacing)
+    return jnp.where(frozen, T0, T_new)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def solve_eikonal_diff(slowness, src_xyz, grid: Grid,
+                       config: EikonalConfig = EikonalConfig()):
+    """Like solve_eikonal, but differentiable w.r.t. slowness (and source
+    position) through the implicit adjoint."""
+    return solve_eikonal(slowness, src_xyz, grid, config)
+
+
+def _fwd(slowness, src_xyz, grid, config):
+    T = solve_eikonal(slowness, src_xyz, grid, config)
+    return T, (slowness, src_xyz, T)
+
+
+def _bwd(grid, config, residuals, g):
+    slowness, src_xyz, T = residuals
+    slowness = slowness.astype(jnp.float32)
+
+    F = lambda T_, s_, x_: _fixed_point_map(T_, s_, x_, grid, config)
+    _, vjp_fn = jax.vjp(F, T, slowness, src_xyz)
+
+    # Adjoint transport iteration: lambda <- (dF/dT)^T lambda + g.
+    # Bounded by ~grid diameter; converges earlier on smooth media.
+    max_iters = 2 * sum(grid.shape)
+    tol = jnp.asarray(config.tol, jnp.float32) * (
+        1e-3 + jnp.max(jnp.abs(g)))
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_iters)
+
+    def body(carry):
+        lam, _, it = carry
+        dT, _, _ = vjp_fn(lam)
+        lam_new = dT + g
+        delta = jnp.max(jnp.abs(lam_new - lam))
+        return lam_new, delta, it + 1
+
+    lam, _, _ = lax.while_loop(
+        cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
+
+    _, ds, dsrc = vjp_fn(lam)
+    return ds, dsrc
+
+
+solve_eikonal_diff.defvjp(_fwd, _bwd)

@@ -46,6 +46,8 @@ class EikonalConfig:
         always bounded so jit never hangs).
       n_inner: in-plane micro-iterations per plane update (sweep only).
       seed_radius: source seed box radius, in units of max grid spacing.
+      use_pallas: "auto" (fused VMEM kernel on TPU), "on", "off", or
+        "interpret" (kernel in interpreter mode — for CPU tests).
     """
 
     method: str = "sweep"
@@ -53,6 +55,7 @@ class EikonalConfig:
     max_iters: int = 200
     n_inner: int = 2
     seed_radius: float = 3.0
+    use_pallas: str = "auto"
 
 
 def _index_grids(shape):
@@ -192,6 +195,19 @@ def solve_eikonal(
         return _jacobi_solve(T0, frozen, slowness, grid.spacing, config.tol,
                              config.max_iters)
     if config.method == "sweep":
+        pallas = config.use_pallas
+        if pallas == "auto":
+            from mceik_tpu.eikonal.pallas_sweep import MAX_VMEM_FIELD_BYTES
+
+            fits = 4 * grid.n_nodes <= MAX_VMEM_FIELD_BYTES
+            pallas = "on" if (jax.default_backend() == "tpu" and fits) else "off"
+        if pallas in ("on", "interpret"):
+            from mceik_tpu.eikonal.pallas_sweep import sweep_solve_pallas
+
+            return sweep_solve_pallas(T0, frozen, slowness, grid.spacing,
+                                      config.tol, config.max_iters,
+                                      config.n_inner,
+                                      interpret=(pallas == "interpret"))
         return _sweep_solve(T0, frozen, slowness, grid.spacing, config.tol,
                             config.max_iters, config.n_inner)
     raise ValueError(f"unknown method {config.method!r}")

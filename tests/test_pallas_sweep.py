@@ -1,0 +1,62 @@
+"""Pallas sweep kernel parity tests (SURVEY.md §4 "Unit: eikonal" +
+§5 race-detection analog: the parallel kernel's fixed point must equal the
+reference solver's fixed point on random fields).
+
+Runs in interpreter mode on CPU; the same kernel compiles via Mosaic on
+TPU (exercised by bench/driver runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mceik_tpu.grid import Grid
+from mceik_tpu.eikonal import EikonalConfig, solve_eikonal
+
+
+def _smooth_random_slowness(key, grid, coarse=6, amp=0.3):
+    u = jax.random.normal(key, (coarse,) * grid.ndim)
+    u = jax.image.resize(u, grid.shape, method="linear")
+    return jnp.exp(amp * u)
+
+
+@pytest.mark.parametrize("shape", [(25, 33), (17, 19, 21)])
+def test_pallas_matches_reference(shape):
+    grid = Grid(shape=shape, spacing=tuple(1.0 for _ in shape))
+    s = _smooth_random_slowness(jax.random.PRNGKey(3), grid)
+    src = jnp.asarray([3.0] * len(shape), jnp.float32)
+    ref_cfg = EikonalConfig(method="sweep", tol=1e-6, max_iters=100,
+                            use_pallas="off")
+    pl_cfg = EikonalConfig(method="sweep", tol=1e-6, max_iters=100,
+                           use_pallas="interpret")
+    T_ref = np.asarray(solve_eikonal(s, src, grid, ref_cfg))
+    T_pl = np.asarray(solve_eikonal(s, src, grid, pl_cfg))
+    np.testing.assert_allclose(T_pl, T_ref, atol=1e-3)
+
+
+def test_pallas_homogeneous_3d():
+    grid = Grid(shape=(17, 17, 17), spacing=(1.0, 1.0, 1.0))
+    s = jnp.ones(grid.shape)
+    src = jnp.asarray([8.0, 8.0, 8.0], jnp.float32)
+    cfg = EikonalConfig(method="sweep", tol=1e-5, max_iters=100,
+                        use_pallas="interpret")
+    T = np.asarray(solve_eikonal(s, src, grid, cfg))
+    xyz = grid.node_coords()
+    r = np.sqrt(np.sum((xyz - 8.0) ** 2, axis=-1))
+    # First-order upwind corner error on a 17^3 grid is ~0.87 (identical to
+    # the reference solver's — parity test above is the strict check).
+    assert np.abs(T - r).max() < 1.0
+
+
+def test_pallas_vmap_over_sources():
+    grid = Grid(shape=(17, 21), spacing=(1.0, 1.0))
+    s = jnp.ones(grid.shape)
+    srcs = jnp.asarray([[2.0, 2.0], [14.0, 18.0]], jnp.float32)
+    cfg = EikonalConfig(method="sweep", tol=1e-5, max_iters=100,
+                        use_pallas="interpret")
+    T = jax.vmap(lambda x: solve_eikonal(s, x, grid, cfg))(srcs)
+    assert T.shape == (2, 17, 21)
+    xyz = grid.node_coords()
+    for i in range(2):
+        r = np.sqrt(np.sum((xyz - np.asarray(srcs[i])) ** 2, axis=-1))
+        assert np.abs(np.asarray(T[i]) - r).max() < 1.0
