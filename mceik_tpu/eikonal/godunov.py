@@ -34,6 +34,11 @@ import jax.numpy as jnp
 # fp32 range.
 BIG = 1e10
 
+# Discriminant floor: keeps sqrt away from 0 so the VJP of the *unselected*
+# where-branch can never be inf (0 * inf = NaN is the classic JAX pitfall);
+# sqrt(1e-12) = 1e-6 is negligible against physical traveltimes.
+_DISC_FLOOR = 1e-12
+
 
 def shift_filled(T: jnp.ndarray, axis: int, delta: int, fill: float = BIG) -> jnp.ndarray:
     """``result[i] = T[i + delta]`` along ``axis``; out-of-range -> ``fill``.
@@ -105,7 +110,7 @@ def local_solve(
         A2 = w1 + w2
         B2 = w1 * a1 + w2 * a2
         disc2 = A2 * s2 - w1 * w2 * (a1 - a2) ** 2
-        t2 = (B2 + jnp.sqrt(jnp.maximum(disc2, 0.0))) / A2
+        t2 = (B2 + jnp.sqrt(jnp.maximum(disc2, _DISC_FLOOR))) / A2
         return jnp.where(t1 <= a2, t1, t2)
 
     if D == 3:
@@ -122,7 +127,7 @@ def local_solve(
         A2 = w1 + w2
         B2 = w1 * a1 + w2 * a2
         disc2 = A2 * s2 - w1 * w2 * (a1 - a2) ** 2
-        t2 = (B2 + jnp.sqrt(jnp.maximum(disc2, 0.0))) / A2
+        t2 = (B2 + jnp.sqrt(jnp.maximum(disc2, _DISC_FLOOR))) / A2
 
         A3 = A2 + w3
         B3 = B2 + w3 * a3
@@ -131,7 +136,7 @@ def local_solve(
             + w1 * w3 * (a1 - a3) ** 2
             + w2 * w3 * (a2 - a3) ** 2
         )
-        t3 = (B3 + jnp.sqrt(jnp.maximum(disc3, 0.0))) / A3
+        t3 = (B3 + jnp.sqrt(jnp.maximum(disc3, _DISC_FLOOR))) / A3
 
         t = jnp.where(t1 <= a2, t1, jnp.where(t2 <= a3, t2, t3))
         return t

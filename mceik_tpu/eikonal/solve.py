@@ -83,7 +83,9 @@ def seed_source(slowness: jnp.ndarray, src_xyz: jnp.ndarray, grid: Grid,
     idx = _index_grids(slowness.shape)
     h = grid.spacing
     dist2 = sum(((idx[d] - src_idx[d]) * h[d]) ** 2 for d in range(grid.ndim))
-    dist = jnp.sqrt(dist2)
+    # Tiny floor: sqrt'(0) = inf would NaN source-position gradients at the
+    # exact source node (0 * inf through the seed mask select).
+    dist = jnp.sqrt(dist2 + 1e-12)
     radius = seed_radius * max(h)
 
     s_src = jax.scipy.ndimage.map_coordinates(
