@@ -83,3 +83,21 @@ def test_hmc_gaussian():
     # HMC should mix far better than RWM: decent ESS on the slow coordinate.
     x1 = np.asarray(result.samples)[:, :, 1]
     assert ess(x1) > 200, ess(x1)
+
+
+def test_nuts_gaussian():
+    from mceik_tpu.samplers import nuts
+    scales = jnp.ones(2)
+    states = init_chain_states(logpost, init_params, jax.random.PRNGKey(0), 8)
+    ex = init_params(jax.random.PRNGKey(9))
+    result = run_mcmc(
+        nuts.make_kernel(logpost, max_tree_depth=5), hmc.make_adapter(0.8),
+        states, hmc.init_hyper(scales, 0.2, ex),
+        jax.random.PRNGKey(1), n_warmup=500, n_steps=1500,
+        finalize_fn=hmc.finalize)
+    _check_moments(result, mean_tol=0.2, var_rtol=0.3)
+    acc = float(np.mean(np.asarray(result.accept_trace)))
+    assert acc > 0.5, acc
+    x1 = np.asarray(result.samples)[:, :, 1]
+    assert ess(x1) > 500, ess(x1)
+    assert split_rhat(np.asarray(result.samples)).max() < 1.05
