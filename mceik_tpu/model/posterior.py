@@ -52,6 +52,11 @@ class PosteriorModel:
     cfg: ModelCfg
     n_dim: int  # total number of sampled scalars
     prior_scales: Params = None  # per-leaf natural scales for proposals
+    # Split components (SMC tempering needs the likelihood alone) and exact
+    # prior sampling (SMC particle initialization).
+    log_prior: Callable[[Params], jnp.ndarray] = None
+    log_lik: Callable[[Params], jnp.ndarray] = None
+    sample_prior: Callable[[jnp.ndarray], Params] = None
 
 
 def _gaussian_loglik(r, sigma, mask):
@@ -180,6 +185,32 @@ def build_posterior(
     def logpost(params: Params):
         return log_prior(params) + log_lik(params)
 
+    def sample_prior(key):
+        """Exact draw from the prior in the unconstrained basis.
+
+        hypo_raw's prior is standard logistic (the pushforward of the
+        uniform-in-box prior through the inverse sigmoid)."""
+        ks = jax.random.split(key, 4)
+        ex = init_params(jax.random.PRNGKey(0))
+
+        def maybe(field, draw):
+            return None if getattr(ex, field) is None else draw
+
+        u = maybe("u", lambda: cfg.prior_sigma_u * jax.random.normal(
+            ks[0], cfg.inv_shape, dtype=jnp.float32))
+        hypo_raw = maybe("hypo_raw", lambda: jax.random.logistic(
+            ks[1], ex.hypo_raw.shape, dtype=jnp.float32))
+        t0 = maybe("t0", lambda: cfg.prior_sigma_t0 * jax.random.normal(
+            ks[2], ex.t0.shape, dtype=jnp.float32))
+        ls = maybe("log_sigma", lambda: cfg.sigma_hyper * jax.random.normal(
+            ks[3], jnp.shape(ex.log_sigma), dtype=jnp.float32))
+        return Params(
+            u=u() if callable(u) else u,
+            hypo_raw=hypo_raw() if callable(hypo_raw) else hypo_raw,
+            t0=t0() if callable(t0) else t0,
+            log_sigma=ls() if callable(ls) else ls,
+        )
+
     example = init_params(jax.random.PRNGKey(0))
     n_dim = sum(int(x.size) for x in jax.tree.leaves(example))
 
@@ -204,4 +235,7 @@ def build_posterior(
         cfg=cfg,
         n_dim=n_dim,
         prior_scales=prior_scales,
+        log_prior=log_prior,
+        log_lik=log_lik,
+        sample_prior=sample_prior,
     )
