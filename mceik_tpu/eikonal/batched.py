@@ -1,0 +1,118 @@
+"""Public batched eikonal solve with vmap-merging (SURVEY.md §3.2's
+"station-batched solves" — the per-proposal hot loop).
+
+``solve_eikonal_batched`` solves one traveltime field per source over a
+shared (or per-source) slowness field. Its ``jax.custom_batching.custom_vmap``
+rule COLLAPSES any outer ``vmap`` axis (chains, events, ...) into the flat
+batch, so a sampler's ``vmap_chains(vmap_stations(solve))`` reaches the
+backend as ONE rank-1 batch. This matters twice:
+
+1. Throughput — the streaming Pallas kernel wants the whole chains x
+   stations batch in its lane dimension (pallas_stream.py).
+2. Correctness — the axon/XLA:TPU backend MISCOMPILES doubly-vmapped
+   ``lax.scan``-based sweeps (verified: vmap^2 of the sweep solver returns
+   a self-consistent but wrong fixed point on TPU, max err ~33 on a 64^3
+   test, while the identical program on CPU is bit-exact vs single-vmap).
+   Flattening at this boundary means the suspect pattern never reaches the
+   compiler. Seeding also happens INSIDE the boundary for the same reason.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mceik_tpu.eikonal.pallas_stream import sweep_solve_pallas_batched
+from mceik_tpu.eikonal.solve import (EikonalConfig, _sweep_solve, _jacobi_solve,
+                                     seed_source)
+from mceik_tpu.grid import Grid
+
+
+# The axon/XLA:TPU backend MISCOMPILES the vmapped scan-based sweep at
+# batch >= 32 (verified by bisection: B in {8,16,24} bit-match the tight
+# reference, B in {32,64} return a deterministic wrong fixed point,
+# max err ~33 on a 64^3 medium; the jacobi method and CPU are unaffected).
+# Chunking the flat batch below that threshold sidesteps the bug.
+_SAFE_XLA_SWEEP_BATCH = 16
+
+
+def _flat_solve_xla(T0, frozen, s, grid, config):
+    """Rank-1-batched XLA solve over the flat batch, chunked to stay under
+    the backend's miscompilation threshold (see above)."""
+    if config.method == "jacobi":
+        f = lambda T0_, fr_, s_: _jacobi_solve(T0_, fr_, s_, grid.spacing,
+                                               config.tol, config.max_iters)
+    else:
+        f = lambda T0_, fr_, s_: _sweep_solve(T0_, fr_, s_, grid.spacing,
+                                              config.tol, config.max_iters,
+                                              config.n_inner)
+    B = T0.shape[0]
+    chunk = _SAFE_XLA_SWEEP_BATCH
+    if B <= chunk:
+        return jax.vmap(f)(T0, frozen, s)
+    outs = []
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        outs.append(jax.vmap(f)(T0[lo:hi], frozen[lo:hi], s[lo:hi]))
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=64)
+def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
+                 interpret: bool):
+    """Build (and cache) the custom_vmap'd flat solver for a grid+config.
+
+    The core takes ``(srcs (B, D), s (B,) + grid.shape)`` and performs
+    seeding + solve entirely inside the flattening boundary.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def solve_core(srcs, s):
+        T0, frozen = jax.vmap(
+            lambda x, sf: seed_source(sf, x, grid, config.seed_radius)
+        )(srcs, s)
+        if impl == "stream":
+            return sweep_solve_pallas_batched(
+                T0, frozen, s, grid.spacing, config.tol, config.max_iters,
+                config.n_inner, interpret=interpret)
+        return _flat_solve_xla(T0, frozen, s, grid, config)
+
+    @solve_core.def_vmap
+    def _rule(axis_size, in_batched, srcs, s):
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        srcs_b = ensure(srcs, in_batched[0])
+        s_b = ensure(s, in_batched[1])
+        inner = srcs_b.shape[1]
+
+        def flat(x):
+            return x.reshape((axis_size * inner,) + x.shape[2:])
+
+        out = solve_core(flat(srcs_b), flat(s_b))
+        return out.reshape((axis_size, inner) + out.shape[1:]), True
+
+    return solve_core
+
+
+def solve_eikonal_batched(slowness, srcs, grid: Grid,
+                          config: EikonalConfig = EikonalConfig(),
+                          impl: str = "stream",
+                          interpret: bool = False):
+    """Solve from ``(B, D)`` source coords; ``slowness`` is grid-shaped
+    (shared) or ``(B,) + grid.shape`` (per-source). Returns
+    ``(B,) + grid.shape`` traveltime fields.
+
+    impl: "stream" (lane-batched Pallas kernel) or "xla" (rank-1 vmapped
+    XLA sweep — also the safe TPU fallback, see module docstring).
+    """
+    slowness = jnp.asarray(slowness, jnp.float32)
+    B = srcs.shape[0]
+    if slowness.ndim == grid.ndim:
+        s_b = jnp.broadcast_to(slowness, (B,) + grid.shape)
+    else:
+        s_b = slowness
+    solver = _core_solver(grid, config, impl, interpret)
+    return solver(srcs, s_b)

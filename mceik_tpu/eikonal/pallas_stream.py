@@ -35,9 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mceik_tpu.eikonal.godunov import BIG, local_solve, neighbor_min
 
-# Lane-batch chunk: plane block bytes = n1*n2*B_CHUNK*4; at 64^2 planes and
-# B=64 each block is 1MB -> 5 operands double-buffered + scratch ~ 11MB.
-B_CHUNK = 64
+# Two VMEM budgets shape the kernel:
+# - the per-tile *stack* of ~40 live branchless-local-solve temporaries
+#   (measured: 512KB tiles demanded a 22MB stack), bounded by tiling each
+#   plane into slabs of <= ~128KB;
+# - the persistent prev-plane scratch (one full lane-batched plane),
+#   bounded by capping the lane chunk so a plane stays <= ~4MB.
+_BLOCK_BYTES_TARGET = 1 << 17   # per-tile target (stack driver)
+_SCRATCH_BYTES_TARGET = 1 << 22  # full-plane scratch cap (lane driver)
+
+
+def _lane_chunk(plane_elems: int) -> int:
+    b = max(8, _SCRATCH_BYTES_TARGET // (plane_elems * 4))
+    return min(128, int(b) & ~7)  # multiple of 8, full lane tile at best
 
 
 def _plane_update_batched(Tp, a_ax, sp, floor_p, spacing, n_inner):
@@ -54,22 +64,40 @@ def _plane_update_batched(Tp, a_ax, sp, floor_p, spacing, n_inner):
 
 
 def _stream_kernel(T_cur_ref, T_next_ref, s_ref, floor_ref, out_ref,
-                   prev_scratch, *, spacing, n_inner, n0, reverse):
+                   prev_scratch, *, spacing, n_inner, slab):
+    """Process one (plane, slab) tile. Grid order is (plane outer, slab
+    inner), so by the time plane i runs, scratch holds ALL of plane i-1.
+
+    The kernel's VMEM *stack* holds ~40 live plane-sized temporaries from
+    the branchless local solve — that stack, not the block buffers, is
+    what bounds the tile size (measured 22MB for full 512KB planes), hence
+    slab tiling. In-plane neighbor propagation across slab seams is
+    sacrificed within a sweep; the fixed point is unaffected because each
+    axis's neighbors are read exactly (as prev/next planes) when that axis
+    is the swept one.
+    """
     i = pl.program_id(0)
-    plane_shape = T_cur_ref.shape[1:]
-    big = jnp.full(plane_shape, BIG, jnp.float32)
+    j = pl.program_id(1)
+    tile_shape = T_cur_ref.shape[1:]
+    big = jnp.full(tile_shape, BIG, jnp.float32)
 
-    at_start = i == 0          # first processed plane (no updated prev)
-    at_end = i == n0 - 1       # last processed plane (no old next)
-
-    prev = jnp.where(at_start, big, prev_scratch[...])
-    nxt = jnp.where(at_end, big, T_next_ref[0])
-    a_ax = jnp.minimum(prev, nxt)
+    prev = jnp.where(i == 0, big, prev_scratch[pl.ds(j * slab, slab)])
+    a_ax = jnp.minimum(prev, T_next_ref[0])
 
     Tp = _plane_update_batched(T_cur_ref[0], a_ax, s_ref[0], floor_ref[0],
                                spacing, n_inner)
     out_ref[0] = Tp
-    prev_scratch[...] = Tp
+    prev_scratch[pl.ds(j * slab, slab)] = Tp
+
+
+def _choose_slab(n1: int, rest_elems: int) -> int:
+    """Largest divisor of n1 keeping tile bytes <= the stack target."""
+    cap = max(1, _BLOCK_BYTES_TARGET // (rest_elems * 4))
+    best = 1
+    for d in range(1, n1 + 1):
+        if n1 % d == 0 and d <= cap:
+            best = d
+    return best
 
 
 @functools.partial(jax.jit,
@@ -77,47 +105,56 @@ def _stream_kernel(T_cur_ref, T_next_ref, s_ref, floor_ref, out_ref,
                                     "interpret"))
 def _sweep_axis0_streamed_chunk(T, s, floor, spacing, n_inner: int,
                                 reverse: bool, interpret: bool = False):
-    """One directional sweep along axis 0. Layout: (n0, *plane, B)."""
-    n0 = T.shape[0]
-    blk = (1,) + T.shape[1:]
+    """One directional sweep along axis 0. Layout: (n0, n1[, n2], B)."""
+    n0, n1 = T.shape[0], T.shape[1]
+    rest = 1
+    for d in T.shape[2:]:
+        rest *= d
+    slab = _choose_slab(n1, rest)
+    n_slabs = n1 // slab
+    blk = (1, slab) + T.shape[2:]
+    zeros = (0,) * (T.ndim - 2)
+    big_plane = jnp.full_like(T[:1], BIG)
 
     if reverse:
-        cur_idx = lambda i: (n0 - 1 - i,) + (0,) * (T.ndim - 1)
-        nxt_idx = lambda i: (jnp.maximum(n0 - 2 - i, 0),) + (0,) * (T.ndim - 1)
+        # March plane p = n0-1 .. 0; "next old" plane is p-1. Pre-shifted
+        # in XLA so every index map stays affine (clamped maps defeat the
+        # pipeliner).
+        cur_idx = lambda i, j: (n0 - 1 - i, j) + zeros
+        T_next = jnp.concatenate([big_plane, T[:-1]], axis=0)
     else:
-        cur_idx = lambda i: (i,) + (0,) * (T.ndim - 1)
-        nxt_idx = lambda i: (jnp.minimum(i + 1, n0 - 1),) + (0,) * (T.ndim - 1)
+        cur_idx = lambda i, j: (i, j) + zeros
+        T_next = jnp.concatenate([T[1:], big_plane], axis=0)
 
     kernel = functools.partial(_stream_kernel, spacing=spacing,
-                               n_inner=n_inner, n0=n0, reverse=reverse)
+                               n_inner=n_inner, slab=slab)
     return pl.pallas_call(
         kernel,
-        grid=(n0,),
-        in_specs=[
-            pl.BlockSpec(blk, cur_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, nxt_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, cur_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, cur_idx, memory_space=pltpu.VMEM),
-        ],
+        grid=(n0, n_slabs),
+        in_specs=[pl.BlockSpec(blk, cur_idx, memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(blk, cur_idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(T.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM(T.shape[1:], jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(T, s, floor)
+    )(T, T_next, s, floor)
 
 
 def _sweep_axis0_streamed(T, s, floor, spacing, n_inner, reverse,
                           interpret=False):
     """Chunk the lane batch so VMEM blocks stay bounded."""
     B = T.shape[-1]
-    if B <= B_CHUNK:
+    plane_elems = 1
+    for d in T.shape[1:-1]:
+        plane_elems *= d
+    chunk = _lane_chunk(plane_elems)
+    if B <= chunk:
         return _sweep_axis0_streamed_chunk(T, s, floor, spacing, n_inner,
                                            reverse, interpret)
     outs = []
-    for lo in range(0, B, B_CHUNK):
-        hi = min(lo + B_CHUNK, B)
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
         sl = (Ellipsis, slice(lo, hi))
         outs.append(_sweep_axis0_streamed_chunk(
             T[sl], s[sl], floor[sl], spacing, n_inner, reverse, interpret))

@@ -38,9 +38,22 @@ def traveltime_tables(
         from mceik_tpu.eikonal.adjoint import solve_eikonal_diff
 
         solve = lambda xyz: solve_eikonal_diff(slowness, xyz, grid, config)
-    else:
-        solve = lambda xyz: solve_eikonal(slowness, xyz, grid, config)
-    return jax.vmap(solve)(table_xyz)
+        return jax.vmap(solve)(table_xyz)
+
+    # ALL non-differentiable batched solves route through the flat-batch
+    # custom_vmap boundary (eikonal/batched.py): outer vmaps (chains,
+    # events) merge into one rank-1 batch — required for TPU correctness
+    # (the backend miscompiles doubly-vmapped scan sweeps) and for the
+    # streaming kernel's lane batching.
+    from mceik_tpu.eikonal.batched import solve_eikonal_batched
+
+    pallas = config.use_pallas
+    if pallas == "auto":
+        pallas = "on" if jax.default_backend() == "tpu" else "off"
+    impl = "stream" if pallas in ("on", "interpret") else "xla"
+    return solve_eikonal_batched(slowness, table_xyz, grid, config,
+                                 impl=impl,
+                                 interpret=(pallas == "interpret"))
 
 
 def interp_at(T: jnp.ndarray, xyz: jnp.ndarray, grid: Grid) -> jnp.ndarray:
