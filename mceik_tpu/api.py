@@ -2,6 +2,13 @@
 
 Wires: config -> grid -> synthetic/loaded data -> posterior -> sampler
 dispatch -> jitted scan(vmap(kernel)) -> pooled moments + diagnostics.
+
+Sampling runs in SEGMENTS (length = io.log_every): after each segment a
+JSONL metrics record is emitted and, on checkpoint boundaries, the full
+sampler state (every chain's params + logpost + adaptation state) is
+written atomically — crash recovery resumes exactly (SURVEY.md §5
+"Failure detection", "Checkpoint / resume"). Welford moments carry across
+segments, so segmentation never changes the statistics.
 """
 
 from __future__ import annotations
@@ -19,8 +26,8 @@ from mceik_tpu.datasets import make_dataset
 from mceik_tpu.diag.ess import ess, split_rhat
 from mceik_tpu.diag.moments import welford_finalize, welford_merge_chains
 from mceik_tpu.dist.mesh import chain_mesh, init_distributed, shard_chains
-from mceik_tpu.eikonal.solve import EikonalConfig
 from mceik_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from mceik_tpu.io.metrics import MetricsLogger
 from mceik_tpu.model.posterior import build_posterior
 from mceik_tpu.samplers import am, hmc, rwm
 from mceik_tpu.samplers.base import MCMCResult, init_chain_states, run_mcmc
@@ -31,17 +38,18 @@ class RunSummary:
     """Host-side results: pooled posterior moments + diagnostics."""
 
     config: RunConfig
-    result: MCMCResult               # device pytrees (states, welford, samples)
+    result: MCMCResult               # device pytrees (states, welford)
+    samples: Any                     # concatenated thinned draws (host)
     post_mean: Dict[str, Any]        # pooled posterior means of tracked fields
     post_var: Dict[str, Any]
     accept_rate: float
-    rhat_max: float                  # max split-Rhat over collected u (or hypo)
+    rhat_max: float
     ess_logpost: float
     wall_time_s: float
     samples_per_sec: float           # raw chain-steps/s (all chains)
     eff_samples_per_sec: float       # ESS(logpost)/s
     truth: Dict[str, Any]
-    recovery_corr: Optional[float]   # corr(posterior mean slowness, truth)
+    recovery_corr: Optional[float]
 
 
 def _dispatch_sampler(scfg, posterior):
@@ -68,15 +76,18 @@ def _dispatch_sampler(scfg, posterior):
                      "(smc has its own entry point: samplers.smc.run_smc)")
 
 
+def _step_size_of(hyper) -> Optional[float]:
+    if hasattr(hyper, "log_step"):
+        return float(np.exp(np.asarray(hyper.log_step)))
+    if hasattr(hyper, "da"):
+        return float(np.exp(np.asarray(hyper.da.log_eps)))
+    return None
+
+
 def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     init_distributed(config.dist)
     grid = config.grid.build()
-    eik = EikonalConfig(method=config.eikonal.method, tol=config.eikonal.tol,
-                        max_iters=config.eikonal.max_iters,
-                        n_inner=config.eikonal.n_inner,
-                        seed_radius=config.eikonal.seed_radius,
-                        use_pallas=config.eikonal.use_pallas)
-    data, truth = make_dataset(grid, config.data, config.model, eik)
+    data, truth = make_dataset(grid, config.data, config.model)
 
     differentiable = config.sampler.algorithm in ("hmc", "nuts")
     posterior = build_posterior(config.model, data, grid, config.eikonal,
@@ -91,14 +102,15 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     states = init_chain_states(posterior.logpost, posterior.init_params,
                                k_init, scfg.n_chains)
 
-    # Shard chains across devices when possible (single-device: no-op mesh).
     mesh = chain_mesh(config.dist)
     n_dev = mesh.devices.size
     if n_dev > 1 and scfg.n_chains % n_dev == 0:
         states = shard_chains(states, mesh, config.dist.chain_axis)
 
+    n_warmup = scfg.n_warmup
     if config.io.resume:
         (states, hyper), meta = load_checkpoint(config.io.resume, (states, hyper))
+        n_warmup = 0  # resumed states are post-warmup
         if verbose:
             print(f"[mceik-tpu] resumed from {config.io.resume} (meta={meta})")
 
@@ -112,36 +124,83 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
 
     collect_fn = lambda params: params
 
+    # --- segmented sampling loop --------------------------------------
+    seg = config.io.log_every if config.io.log_every > 0 else scfg.n_samples
+    if config.io.checkpoint_every > 0:
+        seg = min(seg, config.io.checkpoint_every)
+    seg = max(1, min(seg, scfg.n_samples))
+    n_seg = max(1, scfg.n_samples // seg)
+    n_steps_actual = n_seg * seg
+
+    logger = MetricsLogger() if verbose else None
     t0 = time.perf_counter()
-    result = run_mcmc(kernel, adapter, states, hyper, k_run,
-                      n_warmup=scfg.n_warmup, n_steps=scfg.n_samples,
-                      thin=scfg.thin, track_fn=track_fn,
-                      collect_fn=collect_fn, finalize_fn=finalize_fn)
-    jax.block_until_ready(result.logpost_trace)
+    seg_results = []
+    welford = None
+    step_done = 0
+    keys = jax.random.split(k_run, n_seg)
+    for si in range(n_seg):
+        r = run_mcmc(kernel,
+                     adapter if si == 0 else None,
+                     states, hyper, keys[si],
+                     n_warmup=n_warmup if si == 0 else 0,
+                     n_steps=seg, thin=scfg.thin,
+                     track_fn=track_fn, collect_fn=collect_fn,
+                     finalize_fn=finalize_fn if si == 0 else None,
+                     init_welford=welford)
+        jax.block_until_ready(r.logpost_trace)
+        states, hyper, welford = r.states, r.hyper, r.welford
+        step_done += seg
+        seg_results.append(r)
+
+        if logger is not None:
+            lp = np.asarray(r.logpost_trace)
+            logger.log({
+                "phase": "sample", "step": step_done,
+                "accept": round(float(np.mean(np.asarray(r.accept_trace))), 4),
+                "logpost_mean": round(float(lp[-1].mean()), 3),
+                "logpost_min": round(float(lp[-1].min()), 3),
+                "logpost_max": round(float(lp[-1].max()), 3),
+                "step_size": _step_size_of(hyper),
+                "chain_steps_per_s": round(
+                    step_done * scfg.n_chains / (time.perf_counter() - t0), 2),
+            })
+        if (config.io.checkpoint_path and config.io.checkpoint_every > 0
+                and step_done % config.io.checkpoint_every == 0):
+            save_checkpoint(config.io.checkpoint_path, (states, hyper),
+                            meta={"step": step_done,
+                                  "algorithm": scfg.algorithm})
     wall = time.perf_counter() - t0
 
     if config.io.checkpoint_path:
-        save_checkpoint(config.io.checkpoint_path, (result.states, result.hyper),
-                        meta={"n_steps": int(scfg.n_samples),
-                              "algorithm": scfg.algorithm})
+        save_checkpoint(config.io.checkpoint_path, (states, hyper),
+                        meta={"step": step_done, "algorithm": scfg.algorithm,
+                              "final": True})
 
     # --- host-side summary ---------------------------------------------
-    pooled = welford_merge_chains(result.welford)
+    last = seg_results[-1]
+    samples = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *[r.samples for r in seg_results])
+    logpost_trace = np.concatenate(
+        [np.asarray(r.logpost_trace) for r in seg_results], axis=0)
+    accept_trace = np.concatenate(
+        [np.asarray(r.accept_trace) for r in seg_results], axis=0)
+
+    pooled = welford_merge_chains(welford)
     mean, var = welford_finalize(pooled)
     post_mean = jax.tree.map(np.asarray, mean)
     post_var = jax.tree.map(np.asarray, var)
 
-    accept = float(np.mean(np.asarray(result.accept_trace)))
-    lp_trace = np.asarray(result.logpost_trace)
-    ess_lp = ess(lp_trace)
+    accept = float(np.mean(accept_trace))
+    ess_lp = ess(logpost_trace)
 
-    # R-hat on the most informative collected block.
-    samples = result.samples
     probe = None
     if getattr(samples, "u", None) is not None:
-        probe = np.asarray(samples.u).reshape(lp_trace.shape[0], lp_trace.shape[1], -1)
+        probe = np.asarray(samples.u).reshape(
+            logpost_trace.shape[0], logpost_trace.shape[1], -1)
     elif getattr(samples, "hypo_raw", None) is not None:
-        probe = np.asarray(samples.hypo_raw).reshape(lp_trace.shape[0], lp_trace.shape[1], -1)
+        probe = np.asarray(samples.hypo_raw).reshape(
+            logpost_trace.shape[0], logpost_trace.shape[1], -1)
     rhat_max = float(np.nanmax(split_rhat(probe))) if probe is not None else float("nan")
 
     recovery = None
@@ -153,9 +212,10 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
         denom = np.linalg.norm(a) * np.linalg.norm(b)
         recovery = float((a * b).sum() / denom) if denom > 0 else 0.0
 
-    n_total_steps = scfg.n_samples * scfg.n_chains
+    n_total_steps = n_steps_actual * scfg.n_chains
     summary = RunSummary(
-        config=config, result=result, post_mean=post_mean, post_var=post_var,
+        config=config, result=last, samples=samples,
+        post_mean=post_mean, post_var=post_var,
         accept_rate=accept, rhat_max=rhat_max, ess_logpost=ess_lp,
         wall_time_s=wall, samples_per_sec=n_total_steps / wall,
         eff_samples_per_sec=ess_lp / wall,
@@ -163,7 +223,7 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     )
     if verbose:
         print(f"[mceik-tpu] {scfg.algorithm} chains={scfg.n_chains} "
-              f"warmup={scfg.n_warmup} samples={scfg.n_samples} "
+              f"warmup={n_warmup} samples={n_steps_actual} "
               f"wall={wall:.2f}s accept={accept:.3f} rhat={rhat_max:.3f} "
               f"ess(logpost)={ess_lp:.1f} samples/s={summary.samples_per_sec:.1f} "
               + (f"recovery_corr={recovery:.3f}" if recovery is not None else ""))

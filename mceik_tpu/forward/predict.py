@@ -50,7 +50,15 @@ def traveltime_tables(
     pallas = config.use_pallas
     if pallas == "auto":
         pallas = "on" if jax.default_backend() == "tpu" else "off"
-    impl = "stream" if pallas in ("on", "interpret") else "xla"
+    if pallas in ("on", "interpret"):
+        from mceik_tpu.eikonal.pallas_sweep import MAX_VMEM_FIELD_BYTES
+
+        # Whole-field VMEM kernel when the field fits; plane-streaming
+        # kernel for larger grids (128^3+).
+        impl = ("field" if 4 * grid.n_nodes <= MAX_VMEM_FIELD_BYTES
+                else "stream")
+    else:
+        impl = "xla"
     return solve_eikonal_batched(slowness, table_xyz, grid, config,
                                  impl=impl,
                                  interpret=(pallas == "interpret"))

@@ -74,6 +74,7 @@ def run_mcmc(
     track_fn: Optional[Callable] = None,
     finalize_fn: Optional[Callable] = None,
     collect_fn: Optional[Callable] = None,
+    init_welford: Optional[Welford] = None,
 ) -> MCMCResult:
     """Run warmup (with adaptation) then sampling (with collection).
 
@@ -108,11 +109,15 @@ def run_mcmc(
         hyper = finalize_fn(hyper)
 
     # Sampling: outer scan collects every `thin` steps; Welford sees every
-    # step. Per-chain accumulators (leading chain axis).
+    # step. Per-chain accumulators (leading chain axis). Segmented runs
+    # (api.py checkpointing) pass the previous segment's accumulator in.
     n_chains = states.logpost.shape[0]
-    tracked0 = jax.vmap(track_fn)(states.params)
-    welford = welford_init(jax.tree.map(lambda x: x[0], tracked0),
-                           batch_shape=(n_chains,))
+    if init_welford is not None:
+        welford = init_welford
+    else:
+        tracked0 = jax.vmap(track_fn)(states.params)
+        welford = welford_init(jax.tree.map(lambda x: x[0], tracked0),
+                               batch_shape=(n_chains,))
     n_collect = n_steps // thin
 
     def inner_step(carry, _):
