@@ -21,7 +21,10 @@ import numpy as np
 
 # First recorded value (samples/s/chip, chain-steps) — see BASELINE.md
 # measurement log. Update when a new baseline is locked in.
-BASELINE_VALUE = None  # set after first TPU measurement
+# 2026-08-17: 48.364 chain-steps/s on TPU v5-lite — whole-field VMEM
+# Pallas sweep solver via lax.map batching (first verified-correct TPU
+# path; the earlier 12.2 figure ran a backend-miscompiled solver).
+BASELINE_VALUE = 48.364
 
 
 def main():

@@ -138,7 +138,12 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     welford = None
     step_done = 0
     keys = jax.random.split(k_run, n_seg)
+    profiled = False
     for si in range(n_seg):
+        # Profile the SECOND segment (first is dominated by compilation).
+        if config.io.profile_dir and si == 1 and not profiled:
+            jax.profiler.start_trace(config.io.profile_dir)
+            profiled = True
         r = run_mcmc(kernel,
                      adapter if si == 0 else None,
                      states, hyper, keys[si],
@@ -148,6 +153,8 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
                      finalize_fn=finalize_fn if si == 0 else None,
                      init_welford=welford)
         jax.block_until_ready(r.logpost_trace)
+        if profiled and si == 1:
+            jax.profiler.stop_trace()
         states, hyper, welford = r.states, r.hyper, r.welford
         step_done += seg
         seg_results.append(r)

@@ -118,6 +118,9 @@ class IOCfg:
     checkpoint_every: int = 0  # steps; 0 disables
     resume: Optional[str] = None
     log_every: int = 100
+    # Dump one jax.profiler trace (xprof/tensorboard-viewable) of the
+    # first post-compile sampling segment into this directory.
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,7 +49,9 @@ def _flat_solve_xla(T0, frozen, s, grid, config):
                                               config.tol, config.max_iters,
                                               config.n_inner)
     B = T0.shape[0]
-    chunk = _SAFE_XLA_SWEEP_BATCH
+    # The miscompilation is TPU-specific; on CPU (tests, multihost dryrun)
+    # chunking would only bloat the traced graph.
+    chunk = _SAFE_XLA_SWEEP_BATCH if jax.default_backend() == "tpu" else B
     if B <= chunk:
         return jax.vmap(f)(T0, frozen, s)
     outs = []
@@ -78,16 +80,22 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
                 T0, frozen, s, grid.spacing, config.tol, config.max_iters,
                 config.n_inner, interpret=interpret)
         if impl == "field":
-            # Whole-field-in-VMEM kernel per batch element (the pallas
-            # batching rule turns the vmap into a sequential kernel grid).
-            # Measured on v5e: correct at any batch size and ~2.6 ms/field
-            # for 64^3 — the fastest verified-correct TPU path.
+            # Whole-field-in-VMEM kernel per batch element, sequenced with
+            # lax.map rather than vmap: vmapping a pallas_call adds batch
+            # grid dims whose blocks Mosaic multi-buffers (prefetching the
+            # next field while computing the current one), which pushed
+            # the 64^3 case ~80KB over the 16MB scoped-VMEM limit in some
+            # surrounding contexts. lax.map keeps exactly one field's
+            # working set resident (4MB + stack) at a dispatch cost that
+            # is noise next to the ~2.6 ms/field solve. Measured correct
+            # at any batch size (the only fast TPU path that is — see the
+            # backend-miscompilation note above).
             from mceik_tpu.eikonal.pallas_sweep import sweep_solve_pallas
 
-            f = lambda T0_, fr_, s_: sweep_solve_pallas(
-                T0_, fr_, s_, grid.spacing, config.tol, config.max_iters,
-                config.n_inner, interpret=interpret)
-            return jax.vmap(f)(T0, frozen, s)
+            f = lambda args: sweep_solve_pallas(
+                args[0], args[1], args[2], grid.spacing, config.tol,
+                config.max_iters, config.n_inner, interpret=interpret)
+            return jax.lax.map(f, (T0, frozen, s))
         return _flat_solve_xla(T0, frozen, s, grid, config)
 
     @solve_core.def_vmap

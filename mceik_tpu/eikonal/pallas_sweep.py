@@ -108,10 +108,10 @@ def sweep_axis0(T, s, seed_floor, spacing, n_inner: int = 2,
         out_shape=jax.ShapeDtypeStruct(T.shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        # Donate T's buffer to the output: saves one double-buffered
-        # full-field VMEM block, which is exactly what pushed the batched
-        # (grid>=64) variant 80KB over the 16MB scoped-VMEM limit.
-        input_output_aliases={0: 0},
+        # NOTE: input_output_aliases={0:0} was tried here to save a buffer
+        # and instead ADDED ~80KB of copy overhead, tipping the batched
+        # variant over the 16MB scoped-VMEM limit. Batches are folded to a
+        # 2-level (outer, <=8) grid by the caller instead (batched.py).
         interpret=interpret,
     )(T, s, seed_floor)
 
