@@ -53,25 +53,47 @@ class RunSummary:
 
 
 def _dispatch_sampler(scfg, posterior):
+    """Returns (kernel, adapter, hyper, finalize_fn, state_logpost_fn)."""
     scales = posterior.prior_scales
     example = posterior.init_params(jax.random.PRNGKey(0))
+    lp = posterior.logpost
     if scfg.algorithm == "rwm":
-        return (rwm.make_kernel(posterior.logpost), rwm.make_adapter(scfg.target_accept),
-                rwm.init_hyper(scales, scfg.step_size), None)
+        return (rwm.make_kernel(lp), rwm.make_adapter(scfg.target_accept),
+                rwm.init_hyper(scales, scfg.step_size), None, lp)
     if scfg.algorithm == "am":
-        return (am.make_kernel(posterior.logpost), am.make_adapter(scfg.target_accept),
-                am.init_hyper(scales, scfg.step_size, example), None)
+        return (am.make_kernel(lp), am.make_adapter(scfg.target_accept),
+                am.init_hyper(scales, scfg.step_size, example), None, lp)
+    if scfg.algorithm == "pcn":
+        from mceik_tpu.model.params import Params, box_logjac
+        from mceik_tpu.samplers import pcn
+
+        def nongauss(p):
+            return (box_logjac(p.hypo_raw) if p.hypo_raw is not None
+                    else jnp.asarray(0.0, jnp.float32))
+
+        gauss_scales = scales.replace(hypo_raw=None)
+        rw_scales = Params(
+            u=None, t0=None, log_sigma=None,
+            hypo_raw=(None if example.hypo_raw is None
+                      else jnp.ones_like(example.hypo_raw)))
+        state_lp = lambda p: posterior.log_lik(p) + nongauss(p)
+        return (pcn.make_kernel(posterior.log_lik, nongauss),
+                pcn.make_adapter(scfg.target_accept),
+                pcn.init_hyper(gauss_scales, rw_scales, scfg.step_size),
+                None, state_lp)
     if scfg.algorithm == "hmc":
         target = max(scfg.target_accept, 0.7)
-        return (hmc.make_kernel(posterior.logpost, scfg.n_leapfrog),
+        return (hmc.make_kernel(lp, scfg.n_leapfrog),
                 hmc.make_adapter(target),
-                hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize)
+                hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
+                lp)
     if scfg.algorithm == "nuts":
         from mceik_tpu.samplers import nuts
         target = max(scfg.target_accept, 0.8)
-        return (nuts.make_kernel(posterior.logpost, scfg.max_tree_depth),
+        return (nuts.make_kernel(lp, scfg.max_tree_depth),
                 hmc.make_adapter(target),
-                hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize)
+                hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
+                lp)
     raise ValueError(f"unknown/unsupported algorithm {scfg.algorithm!r} "
                      "(smc has its own entry point: samplers.smc.run_smc)")
 
@@ -93,13 +115,14 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     posterior = build_posterior(config.model, data, grid, config.eikonal,
                                 differentiable=differentiable)
 
-    kernel, adapter, hyper, finalize_fn = _dispatch_sampler(config.sampler, posterior)
+    kernel, adapter, hyper, finalize_fn, state_lp = _dispatch_sampler(
+        config.sampler, posterior)
 
     scfg = config.sampler
     key = jax.random.PRNGKey(scfg.seed)
     k_init, k_run = jax.random.split(key)
 
-    states = init_chain_states(posterior.logpost, posterior.init_params,
+    states = init_chain_states(state_lp, posterior.init_params,
                                k_init, scfg.n_chains)
 
     mesh = chain_mesh(config.dist)
