@@ -96,6 +96,15 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
                 args[0], args[1], args[2], grid.spacing, config.tol,
                 config.max_iters, config.n_inner, interpret=interpret)
             return jax.lax.map(f, (T0, frozen, s))
+        if impl == "blocked":
+            # Large fields (128^3+): axis-0 block Gauss-Seidel, each block
+            # solved by the fused VMEM kernel (pallas_sweep.py).
+            from mceik_tpu.eikonal.pallas_sweep import sweep_solve_pallas_blocked
+
+            f = lambda args: sweep_solve_pallas_blocked(
+                args[0], args[1], args[2], grid.spacing, config.tol,
+                config.max_iters, config.n_inner, interpret=interpret)
+            return jax.lax.map(f, (T0, frozen, s))
         return _flat_solve_xla(T0, frozen, s, grid, config)
 
     @solve_core.def_vmap

@@ -32,6 +32,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -39,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mceik_tpu.eikonal.godunov import BIG, local_solve, neighbor_min
 
 # Whole-field-in-VMEM is feasible while 3 operands + out, double buffered,
-# fit in ~16MB: field bytes <= ~2MB (86^3 fp32). Larger grids fall back to
-# the XLA path until the blocked kernel variant lands.
+# fit in ~16MB: field bytes <= ~2MB (86^3 fp32). Larger grids use the
+# blocked variant below (sweep_solve_pallas_blocked).
 MAX_VMEM_FIELD_BYTES = 2 * 1024 * 1024
 
 
@@ -150,4 +151,84 @@ def sweep_solve_pallas(T0, frozen, s, spacing, tol, max_cycles,
         return T_new, delta, it + 1
 
     T, _, _ = lax.while_loop(cond, body, (T0, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return T
+
+
+def _block_pass(T, s_b, floor_b, spacing, n_inner, n_blocks, ascending,
+                interpret):
+    """One Gauss-Seidel pass over axis-0 blocks (each block solved by the
+    fused VMEM kernel with halo planes pinned via the seed floor)."""
+    blk = T.shape[0] // n_blocks
+
+    def body(i, T):
+        k = i if ascending else n_blocks - 1 - i
+        lo = k * blk
+        T_blk = lax.dynamic_slice_in_dim(T, lo, blk, axis=0)
+        s_blk = lax.dynamic_slice_in_dim(s_b, lo, blk, axis=0)
+        f_blk = lax.dynamic_slice_in_dim(floor_b, lo, blk, axis=0)
+
+        big = jnp.full_like(T_blk[:1], BIG)
+        halo_lo = jnp.where(k == 0, big,
+                            lax.dynamic_slice_in_dim(
+                                T, jnp.maximum(lo - 1, 0), 1, axis=0))
+        halo_hi = jnp.where(
+            k == n_blocks - 1, big,
+            lax.dynamic_slice_in_dim(
+                T, jnp.minimum(lo + blk, T.shape[0] - 1), 1, axis=0))
+
+        T_ext = jnp.concatenate([halo_lo, T_blk, halo_hi], axis=0)
+        s_ext = jnp.concatenate([s_blk[:1], s_blk, s_blk[-1:]], axis=0)
+        # Pin halo planes at their current values (monotone max-floor);
+        # BIG halos at the outer edges pin to BIG, i.e. act as the usual
+        # missing-neighbor padding.
+        f_ext = jnp.concatenate([halo_lo, f_blk, halo_hi], axis=0)
+
+        # Full cycle (all axes) on the extended block: the axis-0 extended
+        # sweep enforces the complete stencil across block boundaries; the
+        # transverse sweeps are exact inside the block (only axis 0 is
+        # partitioned) and cannot corrupt boundary rows (missing axial
+        # neighbors read BIG, so their candidates lose the min).
+        T_new_ext = sweep_cycle_pallas(T_ext, s_ext, f_ext, spacing,
+                                       n_inner, interpret)
+        T_new = T_new_ext[1:-1]
+        return lax.dynamic_update_slice_in_dim(T, T_new, lo, axis=0)
+
+    return lax.fori_loop(0, n_blocks, body, T)
+
+
+def sweep_solve_pallas_blocked(T0, frozen, s, spacing, tol, max_cycles,
+                               n_inner: int = 2, interpret: bool = False,
+                               n_blocks: int = None):
+    """Fixed-point solve for fields too large for one VMEM residency:
+    axis 0 is split into blocks that fit, processed in ascending then
+    descending Gauss-Seidel order per cycle (each block's solve reuses
+    the fused whole-field kernel; halos are pinned boundary planes).
+    Same fixed point as the unblocked solver (parity-tested)."""
+    if n_blocks is None:
+        field_bytes = 4 * int(np.prod(T0.shape))
+        n_blocks = 1
+        while field_bytes // n_blocks > MAX_VMEM_FIELD_BYTES // 2:
+            n_blocks *= 2
+    if T0.shape[0] % n_blocks != 0 or n_blocks >= T0.shape[0]:
+        raise ValueError(
+            f"axis 0 ({T0.shape[0]}) not divisible into {n_blocks} blocks")
+
+    seed_floor = jnp.where(frozen, T0, 0.0).astype(jnp.float32)
+    s = s.astype(jnp.float32)
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_cycles)
+
+    def body(carry):
+        T, _, it = carry
+        T_new = _block_pass(T, s, seed_floor, spacing, n_inner, n_blocks,
+                            True, interpret)
+        T_new = _block_pass(T_new, s, seed_floor, spacing, n_inner,
+                            n_blocks, False, interpret)
+        delta = jnp.max(jnp.abs(T_new - T))
+        return T_new, delta, it + 1
+
+    T, _, _ = lax.while_loop(
+        cond, body, (T0, jnp.asarray(jnp.inf, jnp.float32), 0))
     return T

@@ -53,10 +53,11 @@ def traveltime_tables(
     if pallas in ("on", "interpret"):
         from mceik_tpu.eikonal.pallas_sweep import MAX_VMEM_FIELD_BYTES
 
-        # Whole-field VMEM kernel when the field fits; plane-streaming
-        # kernel for larger grids (128^3+).
+        # Whole-field VMEM kernel when the field fits; axis-0 blocked
+        # variant (same kernel per block + halo pinning) for larger grids
+        # (128^3+).
         impl = ("field" if 4 * grid.n_nodes <= MAX_VMEM_FIELD_BYTES
-                else "stream")
+                else "blocked")
     else:
         impl = "xla"
     return solve_eikonal_batched(slowness, table_xyz, grid, config,

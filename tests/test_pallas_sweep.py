@@ -60,3 +60,23 @@ def test_pallas_vmap_over_sources():
     for i in range(2):
         r = np.sqrt(np.sum((xyz - np.asarray(srcs[i])) ** 2, axis=-1))
         assert np.abs(np.asarray(T[i]) - r).max() < 1.0
+
+
+def test_blocked_matches_reference():
+    """Blocked (big-field) variant: same fixed point as the reference
+    solver, with forced multi-block partitioning + halo pinning."""
+    from mceik_tpu.eikonal.pallas_sweep import sweep_solve_pallas_blocked
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 13, 11), spacing=(1.0, 1.0, 1.0))
+    s = _smooth_random_slowness(jax.random.PRNGKey(7), grid)
+    src = jnp.asarray([3.0, 6.0, 5.0], jnp.float32)
+    cfg = EikonalConfig(method="sweep", tol=1e-6, max_iters=100,
+                        use_pallas="off")
+    T_ref = np.asarray(solve_eikonal(s, src, grid, cfg))
+
+    T0, frozen = seed_source(s, src, grid, 3.0)
+    T_blk = np.asarray(sweep_solve_pallas_blocked(
+        T0, frozen, s, grid.spacing, tol=1e-6, max_cycles=100,
+        interpret=True, n_blocks=4))
+    np.testing.assert_allclose(T_blk, T_ref, atol=2e-3)
