@@ -103,3 +103,86 @@ def _bwd(grid, config, residuals, g):
 
 
 solve_eikonal_diff.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Batched differentiable solve: custom_vmap( custom_vjp( flat batch ) ).
+#
+# The per-field solve_eikonal_diff above is correct but composes badly with
+# the sampler's chains x stations vmaps on TPU: its forward would reach the
+# backend as a multiply-vmapped solver (VMEM pressure / the batch>=32 scan
+# miscompilation — see eikonal/batched.py). The batched variant instead:
+#   forward: the verified flat-batch Pallas route (batched.solve_eikonal_batched)
+#   backward: a rank-1 vmapped adjoint transport (pure elementwise one-step
+#             maps — no lax.scan anywhere, safe at any batch size)
+#   batching: custom_vjp's own batching rule vmaps fwd/bwd; the fwd's
+#             INTERNAL flat-batch boundary (batched.py's custom_vmap, in
+#             the non-differentiated region) then merges the axes, and
+#             the vmapped bwd stays purely elementwise. (An outer
+#             custom_vmap was tried and rejected: custom_vmap does not
+#             compose with jax.grad.)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _diff_core(grid: Grid, config: EikonalConfig, impl: str, interpret: bool):
+    from mceik_tpu.eikonal.batched import solve_eikonal_batched
+
+    @jax.custom_vjp
+    def solve_flat(s_b, srcs):
+        return solve_eikonal_batched(s_b, srcs, grid, config, impl=impl,
+                                     interpret=interpret)
+
+    def fwd(s_b, srcs):
+        T = solve_flat(s_b, srcs)
+        return T, (s_b, srcs, T)
+
+    def bwd(res, g):
+        s_b, srcs, T = res
+        s_b = s_b.astype(jnp.float32)
+
+        def F(T_, s_, x_):
+            return jax.vmap(
+                lambda Ti, si, xi: _fixed_point_map(Ti, si, xi, grid, config)
+            )(T_, s_, x_)
+
+        _, vjp_fn = jax.vjp(F, T, s_b, srcs)
+        max_iters = 2 * sum(grid.shape)
+        tol = jnp.asarray(config.tol, jnp.float32) * (
+            1e-3 + jnp.max(jnp.abs(g)))
+
+        def cond(carry):
+            _, delta, it = carry
+            return jnp.logical_and(delta > tol, it < max_iters)
+
+        def body(carry):
+            lam, _, it = carry
+            dT, _, _ = vjp_fn(lam)
+            lam_new = dT + g
+            delta = jnp.max(jnp.abs(lam_new - lam))
+            return lam_new, delta, it + 1
+
+        lam, _, _ = lax.while_loop(
+            cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
+        _, ds, dsrc = vjp_fn(lam)
+        return ds, dsrc
+
+    solve_flat.defvjp(fwd, bwd)
+    return solve_flat
+
+
+def solve_eikonal_diff_batched(slowness, srcs, grid: Grid,
+                               config: EikonalConfig = EikonalConfig(),
+                               impl: str = "field",
+                               interpret: bool = False):
+    """Differentiable batched solve from ``(B, D)`` sources; gradients
+    w.r.t. slowness (and sources) via the flat-batch implicit adjoint."""
+    slowness = jnp.asarray(slowness, jnp.float32)
+    B = srcs.shape[0]
+    if slowness.ndim == grid.ndim:
+        s_b = jnp.broadcast_to(slowness, (B,) + grid.shape)
+    else:
+        s_b = slowness
+    return _diff_core(grid, config, impl, interpret)(s_b, srcs)

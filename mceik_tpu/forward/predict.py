@@ -35,10 +35,21 @@ def traveltime_tables(
     Returns: ``(n_tab,) + grid.shape`` traveltime fields.
     """
     if differentiable:
-        from mceik_tpu.eikonal.adjoint import solve_eikonal_diff
+        from mceik_tpu.eikonal.adjoint import solve_eikonal_diff_batched
 
-        solve = lambda xyz: solve_eikonal_diff(slowness, xyz, grid, config)
-        return jax.vmap(solve)(table_xyz)
+        pallas = config.use_pallas
+        if pallas == "auto":
+            pallas = "on" if jax.default_backend() == "tpu" else "off"
+        if pallas in ("on", "interpret"):
+            from mceik_tpu.eikonal.pallas_sweep import MAX_VMEM_FIELD_BYTES
+
+            impl = ("field" if 4 * grid.n_nodes <= MAX_VMEM_FIELD_BYTES
+                    else "blocked")
+        else:
+            impl = "xla"
+        return solve_eikonal_diff_batched(slowness, table_xyz, grid, config,
+                                          impl=impl,
+                                          interpret=(pallas == "interpret"))
 
     # ALL non-differentiable batched solves route through the flat-batch
     # custom_vmap boundary (eikonal/batched.py): outer vmaps (chains,

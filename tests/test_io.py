@@ -49,3 +49,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 3
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_traveltime_table_cache(tmp_path):
+    import jax.numpy as jnp
+    from mceik_tpu.eikonal.solve import EikonalConfig
+    from mceik_tpu.forward.tables_cache import cached_traveltime_tables
+    from mceik_tpu.grid import Grid
+
+    grid = Grid(shape=(13, 11), spacing=(1.0, 1.0))
+    s = jnp.ones(grid.shape)
+    sta = jnp.asarray([[2.0, 3.0], [10.0, 8.0]], jnp.float32)
+    cfg = EikonalConfig(method="sweep", tol=1e-5, max_iters=60,
+                        use_pallas="off")
+    t1 = cached_traveltime_tables(s, sta, grid, cfg, cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("tables_*.h5"))
+    assert len(files) == 1
+    t2 = cached_traveltime_tables(s, sta, grid, cfg, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(t1, t2)
+    # Different slowness -> different cache entry (no stale serving).
+    t3 = cached_traveltime_tables(1.1 * s, sta, grid, cfg,
+                                  cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("tables_*.h5"))) == 2
+    assert not np.allclose(t1, t3)
