@@ -42,7 +42,7 @@ def main():
                     sigma=0.01)
     dcfg = DataCfg(dataset="checkerboard3d", n_src=8, n_rec=12, noise=0.01,
                    checker_cells=(3, 3, 3), checker_amplitude=0.1)
-    ecfg = EikonalCfg(method="sweep", tol=1e-3, max_iters=20)
+    ecfg = EikonalCfg(method="sweep", tol=1e-3, max_iters=20, n_inner=4)
 
     data, _ = make_dataset(grid, dcfg, mcfg)
     posterior = build_posterior(mcfg, data, grid, ecfg)

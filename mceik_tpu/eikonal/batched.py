@@ -80,17 +80,41 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
                 T0, frozen, s, grid.spacing, config.tol, config.max_iters,
                 config.n_inner, interpret=interpret)
         if impl == "field":
-            # Whole-field-in-VMEM kernel per batch element, sequenced with
-            # lax.map rather than vmap: vmapping a pallas_call adds batch
-            # grid dims whose blocks Mosaic multi-buffers (prefetching the
-            # next field while computing the current one), which pushed
-            # the 64^3 case ~80KB over the 16MB scoped-VMEM limit in some
-            # surrounding contexts. lax.map keeps exactly one field's
-            # working set resident (4MB + stack) at a dispatch cost that
-            # is noise next to the ~2.6 ms/field solve. Measured correct
-            # at any batch size (the only fast TPU path that is — see the
-            # backend-miscompilation note above).
-            from mceik_tpu.eikonal.pallas_sweep import sweep_solve_pallas
+            # Whole-field-in-VMEM kernel, sequenced with lax.map rather
+            # than vmap: vmapping a pallas_call adds batch grid dims whose
+            # blocks Mosaic multi-buffers (prefetching the next field while
+            # computing the current one), which pushed the 64^3 case ~80KB
+            # over the 16MB scoped-VMEM limit in some surrounding contexts.
+            # lax.map keeps exactly one working set resident at a dispatch
+            # cost that is noise next to the per-field solve. Measured
+            # correct at any batch size (the only fast TPU path that is —
+            # see the backend-miscompilation note above).
+            #
+            # Fields narrower than the 128-wide vector lanes are LANE-
+            # PACKED P at a time (pallas_sweep.sweep_solve_pallas_packed):
+            # the VMEM padding the unpacked kernel wastes on 64^3/32^3
+            # grids instead holds P independent fields, ~P-x throughput.
+            from mceik_tpu.eikonal.pallas_sweep import (
+                lane_pack_factor, sweep_solve_pallas,
+                sweep_solve_pallas_packed)
+
+            B = T0.shape[0]
+            P = lane_pack_factor(grid.shape)
+            if P > 1:
+                pad = (-B) % P
+                if pad:
+                    T0p = jnp.concatenate([T0, T0[-1:].repeat(pad, 0)], 0)
+                    frp = jnp.concatenate([frozen, frozen[-1:].repeat(pad, 0)], 0)
+                    sp_ = jnp.concatenate([s, s[-1:].repeat(pad, 0)], 0)
+                else:
+                    T0p, frp, sp_ = T0, frozen, s
+                shp = (-1, P) + grid.shape
+                f = lambda args: sweep_solve_pallas_packed(
+                    args[0], args[1], args[2], grid.spacing, config.tol,
+                    config.max_iters, config.n_inner, interpret=interpret)
+                out = jax.lax.map(f, (T0p.reshape(shp), frp.reshape(shp),
+                                      sp_.reshape(shp)))
+                return out.reshape((-1,) + grid.shape)[:B]
 
             f = lambda args: sweep_solve_pallas(
                 args[0], args[1], args[2], grid.spacing, config.tol,

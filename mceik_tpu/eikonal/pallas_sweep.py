@@ -37,7 +37,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mceik_tpu.eikonal.godunov import BIG, local_solve, neighbor_min
+from mceik_tpu.eikonal.godunov import (BIG, local_solve, neighbor_min,
+                                       shift_filled)
 
 # Whole-field-in-VMEM is feasible while 3 operands + out, double buffered,
 # fit in ~16MB: field bytes <= ~2MB (86^3 fp32). Larger grids use the
@@ -45,21 +46,42 @@ from mceik_tpu.eikonal.godunov import BIG, local_solve, neighbor_min
 MAX_VMEM_FIELD_BYTES = 2 * 1024 * 1024
 
 
+def seam_neighbor_min(Tp, axis, n_seg):
+    """``neighbor_min`` along an axis that lane-packs ``n_seg`` independent
+    field segments side by side: reads that would cross a segment seam are
+    masked to BIG (the same fill a true field edge gets), so each segment
+    behaves exactly like a standalone field."""
+    lo = shift_filled(Tp, axis, -1)   # result[i] = T[i-1]; i==0 -> BIG
+    hi = shift_filled(Tp, axis, +1)   # result[i] = T[i+1]; i==n-1 -> BIG
+    seg = Tp.shape[axis] // n_seg
+    col = lax.broadcasted_iota(jnp.int32, Tp.shape, axis)
+    lo = jnp.where(col % seg == 0, BIG, lo)
+    hi = jnp.where(col % seg == seg - 1, BIG, hi)
+    return jnp.minimum(lo, hi)
+
+
 def _plane_update(Tp, prev_plane, next_plane, sp, floor_p, spacing_swept,
-                  spacing_plane, n_inner):
+                  spacing_plane, n_inner, n_seg=1):
     """Update one plane: axial neighbor min from (prev, next), in-plane
-    Jacobi micro-iterations, frozen-seed floor restore. Shapes: (n1, n2)."""
+    Jacobi micro-iterations, frozen-seed floor restore. Shapes: (n1, n2),
+    where the last dim may lane-pack ``n_seg`` independent fields."""
     a_ax = jnp.minimum(prev_plane, next_plane)
     sp_all = (spacing_swept,) + spacing_plane
     for _ in range(n_inner):
-        a = [a_ax] + [neighbor_min(Tp, d) for d in range(Tp.ndim)]
+        a = [a_ax]
+        for d in range(Tp.ndim):
+            if n_seg > 1 and d == Tp.ndim - 1:
+                a.append(seam_neighbor_min(Tp, d, n_seg))
+            else:
+                a.append(neighbor_min(Tp, d))
         Tp = jnp.minimum(Tp, local_solve(a, sp_all, sp))
         Tp = jnp.maximum(Tp, floor_p)
     return Tp
 
 
 def _sweep_axis0_kernel(T_ref, s_ref, floor_ref, out_ref, *,
-                        spacing: Tuple[float, ...], n_inner: int):
+                        spacing: Tuple[float, ...], n_inner: int,
+                        n_seg: int = 1):
     """Bidirectional (low->high then high->low) GS sweep along axis 0.
 
     All refs are full-field VMEM blocks of shape (n0, n1, n2) (3-D) or
@@ -82,7 +104,7 @@ def _sweep_axis0_kernel(T_ref, s_ref, floor_ref, out_ref, *,
         nxt = jnp.where(i < n0 - 1, out_ref[jnp.minimum(i + 1, n0 - 1)],
                         big_plane)
         Tp = _plane_update(out_ref[i], prev, nxt, s_ref[i], floor_ref[i],
-                           sp_swept, sp_plane, n_inner)
+                           sp_swept, sp_plane, n_inner, n_seg)
         out_ref[i] = Tp
 
     def fwd_body(i, _):
@@ -98,12 +120,15 @@ def _sweep_axis0_kernel(T_ref, s_ref, floor_ref, out_ref, *,
     lax.fori_loop(0, n0, bwd_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("spacing", "n_inner", "interpret"))
+@functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
+                                              "interpret", "n_seg"))
 def sweep_axis0(T, s, seed_floor, spacing, n_inner: int = 2,
-                interpret: bool = False):
-    """One fused bidirectional sweep along axis 0, whole field in VMEM."""
+                interpret: bool = False, n_seg: int = 1):
+    """One fused bidirectional sweep along axis 0, whole field in VMEM.
+
+    ``n_seg > 1``: the last dim lane-packs n_seg independent fields."""
     kernel = functools.partial(_sweep_axis0_kernel, spacing=spacing,
-                               n_inner=n_inner)
+                               n_inner=n_inner, n_seg=n_seg)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(T.shape, jnp.float32),
@@ -151,6 +176,112 @@ def sweep_solve_pallas(T0, frozen, s, spacing, tol, max_cycles,
         return T_new, delta, it + 1
 
     T, _, _ = lax.while_loop(cond, body, (T0, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return T
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed solves: P fields per kernel.
+#
+# A (64, 64, 64) fp32 field is physically tiled to (64, 64, 128) in VMEM —
+# half of every 128-wide vector lane register is padding, so the VPU does 2x
+# the work per useful element. Packing P = 128 // n_last fields side by side
+# along the lane dim fills the registers (zero extra VMEM: the padding was
+# already there) and nearly doubles (n=64) or quadruples (n=32) sweep
+# throughput. Segment independence is enforced by seam-masked neighbor reads
+# (seam_neighbor_min), so the packed fixed point is bit-identical to P
+# independent solves up to the shared convergence test.
+# ---------------------------------------------------------------------------
+
+
+def lane_pack_factor(field_shape: Tuple[int, ...]) -> int:
+    """How many fields fit in one 128-lane register row (1 = no packing)."""
+    if len(field_shape) != 3:
+        return 1
+    n_last = field_shape[-1]
+    if n_last >= 128 or 128 % n_last != 0:
+        return 1
+    P = 128 // n_last
+    # Keep the packed working set comfortably in VMEM (4 arrays, padded
+    # physical size is unchanged by packing for the leading dims).
+    packed_bytes = 4 * field_shape[0] * field_shape[1] * 128
+    while P > 1 and packed_bytes > 2 * MAX_VMEM_FIELD_BYTES:
+        P //= 2
+        packed_bytes //= 2
+    return P
+
+
+def _pack_perms(D: int, axis: int):
+    """Permutations for packing stacked (P,)+field arrays into the
+    swept-axis-leading, lane-concatenated layout and back."""
+    perm = (axis,) + tuple(d for d in range(D) if d != axis)
+    sperm = (0,) + tuple(p + 1 for p in perm)            # (P, na, nb, nc)
+    inv_sperm = tuple(int(i) for i in np.argsort(sperm))
+    return perm, sperm, inv_sperm
+
+
+def _pack(x, sperm):
+    xt = jnp.transpose(x, sperm)                          # (P, na, nb, nc)
+    P, na, nb, nc = xt.shape
+    return jnp.transpose(xt, (1, 2, 0, 3)).reshape(na, nb, P * nc)
+
+
+def _unpack(y, P, inv_sperm):
+    na, nb, W = y.shape
+    nc = W // P
+    xt = jnp.transpose(y.reshape(na, nb, P, nc), (2, 0, 1, 3))
+    return jnp.transpose(xt, inv_sperm)
+
+
+def sweep_cycle_pallas_packed(Tst, s_packed, floor_packed, spacing,
+                              n_inner: int = 2, interpret: bool = False):
+    """One full cycle over all axes on stacked ``(P,) + field`` arrays.
+
+    ``s_packed``/``floor_packed`` are per-axis pre-packed operands (they are
+    loop invariants of the outer fixed-point iteration — packing them once
+    per solve instead of once per cycle saves 2/3 of the HBM relayouts)."""
+    P = Tst.shape[0]
+    D = Tst.ndim - 1
+    for axis in range(D):
+        perm, sperm, inv_sperm = _pack_perms(D, axis)
+        sp = tuple(spacing[p] for p in perm)
+        Tp = _pack(Tst, sperm)
+        out = sweep_axis0(Tp, s_packed[axis], floor_packed[axis], sp,
+                          n_inner, interpret, n_seg=P)
+        Tst = _unpack(out, P, inv_sperm)
+    return Tst
+
+
+def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
+                              n_inner: int = 2, interpret: bool = False):
+    """Fixed-point solve of ``P`` lane-packed fields at once.
+
+    Args are stacked ``(P,) + field_shape``; same contract per field as
+    sweep_solve_pallas (parity-tested). Convergence is joint (the pair
+    iterates until the slowest member converges)."""
+    P = T0.shape[0]
+    D = T0.ndim - 1
+    seed_floor = jnp.where(frozen, T0, 0.0).astype(jnp.float32)
+    s = s.astype(jnp.float32)
+    s_packed, floor_packed = [], []
+    for axis in range(D):
+        _, sperm, _ = _pack_perms(D, axis)
+        s_packed.append(_pack(s, sperm))
+        floor_packed.append(_pack(seed_floor, sperm))
+    s_packed, floor_packed = tuple(s_packed), tuple(floor_packed)
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_cycles)
+
+    def body(carry):
+        T, _, it = carry
+        T_new = sweep_cycle_pallas_packed(T, s_packed, floor_packed,
+                                          spacing, n_inner, interpret)
+        delta = jnp.max(jnp.abs(T_new - T))
+        return T_new, delta, it + 1
+
+    T, _, _ = lax.while_loop(
+        cond, body, (T0, jnp.asarray(jnp.inf, jnp.float32), 0))
     return T
 
 

@@ -80,3 +80,49 @@ def test_blocked_matches_reference():
         T0, frozen, s, grid.spacing, tol=1e-6, max_cycles=100,
         interpret=True, n_blocks=4))
     np.testing.assert_allclose(T_blk, T_ref, atol=2e-3)
+
+
+def test_lane_packed_matches_singles():
+    """Lane-packed P-field solve == P independent solves (seam masking
+    keeps packed fields exactly independent)."""
+    from mceik_tpu.eikonal.pallas_sweep import (lane_pack_factor,
+                                                sweep_solve_pallas,
+                                                sweep_solve_pallas_packed)
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 12, 16), spacing=(1.0, 1.2, 0.9))
+    P = lane_pack_factor(grid.shape)
+    assert P == 8
+    key = jax.random.PRNGKey(3)
+    T0s, frs, ss = [], [], []
+    for i in range(P):
+        s = _smooth_random_slowness(jax.random.fold_in(key, i), grid)
+        src = jnp.asarray([2.0 + i, 6.0, 13.0 - i], jnp.float32)
+        T0, fr = seed_source(s, src, grid, 3.0)
+        T0s.append(T0), frs.append(fr), ss.append(s)
+    packed = sweep_solve_pallas_packed(
+        jnp.stack(T0s), jnp.stack(frs), jnp.stack(ss), grid.spacing,
+        tol=1e-5, max_cycles=60, interpret=True)
+    singles = jnp.stack([
+        sweep_solve_pallas(T0s[i], frs[i], ss[i], grid.spacing, tol=1e-5,
+                           max_cycles=60, interpret=True)
+        for i in range(P)])
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(singles),
+                               atol=1e-4)
+
+
+def test_lane_packed_via_batched_route():
+    """The production impl="field" route lane-packs transparently,
+    including a non-multiple-of-P batch (padding)."""
+    from mceik_tpu.eikonal.batched import solve_eikonal_batched
+
+    grid = Grid(shape=(16, 12, 16), spacing=(1.0, 1.0, 1.0))
+    s = _smooth_random_slowness(jax.random.PRNGKey(5), grid)
+    srcs = jnp.asarray([[2.0, 3.0, 4.0], [13.0, 9.0, 2.0], [8.0, 6.0, 8.0]],
+                       jnp.float32)  # B=3, P=8 -> padded batch
+    cfg = EikonalConfig(method="sweep", tol=1e-5, max_iters=60)
+    T = solve_eikonal_batched(s, srcs, grid, cfg, impl="field",
+                              interpret=True)
+    T_ref = solve_eikonal_batched(s, srcs, grid, cfg, impl="xla")
+    assert T.shape == (3,) + grid.shape
+    np.testing.assert_allclose(np.asarray(T), np.asarray(T_ref), atol=1e-4)
