@@ -214,12 +214,22 @@ def transport_solve_batched(g, T, s_b, srcs, grid, config,
     if pallas == "auto":
         pallas = "on" if jax.default_backend() == "tpu" else "off"
     if pallas in ("on", "interpret"):
-        from mceik_tpu.eikonal.pallas_sweep import lane_pack_factor
+        from mceik_tpu.eikonal.pallas_sweep import (MAX_VMEM_FIELD_BYTES,
+                                                    lane_pack_factor)
         from mceik_tpu.eikonal.pallas_transport import (
-            transport_solve_pallas_packed)
+            transport_solve_pallas_blocked, transport_solve_pallas_packed)
 
         interp = interpret or pallas == "interpret"
         B = g.shape[0]
+
+        if 4 * grid.n_nodes > MAX_VMEM_FIELD_BYTES:
+            # Big fields (128^3+): blocked transport, mirroring the
+            # forward's routing in forward/predict.py.
+            f = lambda args: transport_solve_pallas_blocked(
+                args[0], tuple(args[1:]), config.tol, config.max_iters,
+                config.n_inner, interpret=interp)
+            return lax.map(f, (g,) + ws)
+
         P = max(1, lane_pack_factor(grid.shape))
         pad = (-B) % P
 

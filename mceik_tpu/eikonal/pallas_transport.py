@@ -59,10 +59,20 @@ def _inplane_collect(lam_p, ws_plane, n_seg):
 
 
 def _transport_axis0_kernel(lam_ref, g_ref, *ws_and_out, n_inner: int,
-                            n_seg: int):
+                            n_seg: int, halo: bool = False,
+                            pin_dim: int = -1):
     ws_refs = ws_and_out[:-1]
     out_ref = ws_and_out[-1]
     n0 = lam_ref.shape[0]
+    # halo=True: first/last planes are fixed boundary values from
+    # neighboring blocks (blocked big-field solve) — read, never updated.
+    # pin_dim >= 0: same pinning for transverse sweeps of a blocked solve,
+    # where the block-partitioned axis is a PLANE dim: the first/last rows
+    # of that dim are restored from lam_ref (the injected halo values)
+    # after each plane update, so interior updates read correct boundary
+    # data and halo rows never drift (linear-system analog of the forward
+    # kernel's monotone floor pinning).
+    lo, hi = (1, n0 - 1) if halo else (0, n0)
 
     out_ref[...] = lam_ref[...]
 
@@ -87,30 +97,44 @@ def _transport_axis0_kernel(lam_ref, g_ref, *ws_and_out, n_inner: int,
         base = g_ref[i] + axial
         lam_p = out_ref[i]
         ws_plane = [w[i] for w in ws_refs[1:]]
+
+        def pin(p):
+            # Restore the halo rows from lam_ref (the injected boundary
+            # values) so no micro-iteration ever reads a drifted halo.
+            if pin_dim == 0:
+                orig = lam_ref[i]
+                return jnp.concatenate([orig[:1], p[1:-1], orig[-1:]], 0)
+            if pin_dim == 1:
+                orig = lam_ref[i]
+                return jnp.concatenate(
+                    [orig[:, :1], p[:, 1:-1], orig[:, -1:]], 1)
+            return p
+
         for _ in range(n_inner):
-            lam_p = base + _inplane_collect(lam_p, ws_plane, n_seg)
+            lam_p = pin(base + _inplane_collect(lam_p, ws_plane, n_seg))
         out_ref[i] = lam_p
 
     def fwd_body(i, _):
         update_plane_at(i)
         return 0
 
-    lax.fori_loop(0, n0, fwd_body, 0)
+    lax.fori_loop(lo, hi, fwd_body, 0)
 
     def bwd_body(k, _):
         update_plane_at(n0 - 1 - k)
         return 0
 
-    lax.fori_loop(0, n0, bwd_body, 0)
+    lax.fori_loop(n0 - hi, n0 - lo, bwd_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_inner", "interpret", "n_seg"))
+@functools.partial(jax.jit, static_argnames=("n_inner", "interpret", "n_seg",
+                                              "halo", "pin_dim"))
 def transport_axis0(lam, g, ws, n_inner: int = 2, interpret: bool = False,
-                    n_seg: int = 1):
+                    n_seg: int = 1, halo: bool = False, pin_dim: int = -1):
     """One bidirectional transport sweep along axis 0; ``ws`` is the tuple
     of signed weight fields ORDERED with the swept axis first."""
     kernel = functools.partial(_transport_axis0_kernel, n_inner=n_inner,
-                               n_seg=n_seg)
+                               n_seg=n_seg, halo=halo, pin_dim=pin_dim)
     n_in = 2 + len(ws)
     return pl.pallas_call(
         kernel,
@@ -134,6 +158,98 @@ def transport_cycle_pallas(lam, g, wsigned, n_inner: int = 2,
             tuple(jnp.transpose(wsigned[p], perm) for p in perm),
             n_inner, interpret)
         lam = jnp.transpose(lam_t, inv)
+    return lam
+
+
+def _transport_block_cycle(lam_ext, g_ext, ws_ext, n_inner, interpret):
+    """One full sweep cycle on an axis-0-extended block: the axis-0 sweep
+    skips the halo planes (halo=True); transverse sweeps pin the halo rows
+    of the block-partitioned dim (pin_dim=0 after transposition)."""
+    D = lam_ext.ndim
+    for axis in range(D):
+        perm = (axis,) + tuple(d for d in range(D) if d != axis)
+        inv = tuple(int(i) for i in np.argsort(perm))
+        lam_t = transport_axis0(
+            jnp.transpose(lam_ext, perm), jnp.transpose(g_ext, perm),
+            tuple(jnp.transpose(ws_ext[p], perm) for p in perm),
+            n_inner, interpret,
+            halo=(axis == 0), pin_dim=(-1 if axis == 0 else 0))
+        lam_ext = jnp.transpose(lam_t, inv)
+    return lam_ext
+
+
+def _transport_block_pass(lam, g, wsigned, n_inner, n_blocks, ascending,
+                          interpret):
+    """Gauss-Seidel pass over axis-0 blocks of the transport system, each
+    block solved by the fused kernel cycle with 1-plane halos injected
+    from the current global state (zeros at the outer grid edges — no
+    consumers exist beyond the grid)."""
+    blk = lam.shape[0] // n_blocks
+
+    def body(i, lam):
+        k = i if ascending else n_blocks - 1 - i
+        lo = k * blk
+
+        def ext(x, pad_val=0.0):
+            x_blk = lax.dynamic_slice_in_dim(x, lo, blk, axis=0)
+            zeros = jnp.full_like(x_blk[:1], pad_val)
+            h_lo = jnp.where(k == 0, zeros,
+                             lax.dynamic_slice_in_dim(
+                                 x, jnp.maximum(lo - 1, 0), 1, axis=0))
+            h_hi = jnp.where(k == n_blocks - 1, zeros,
+                             lax.dynamic_slice_in_dim(
+                                 x, jnp.minimum(lo + blk, x.shape[0] - 1),
+                                 1, axis=0))
+            return jnp.concatenate([h_lo, x_blk, h_hi], axis=0)
+
+        lam_ext = ext(lam)
+        g_ext = ext(g)
+        ws_ext = tuple(ext(w) for w in wsigned)
+        lam_new_ext = _transport_block_cycle(lam_ext, g_ext, ws_ext,
+                                             n_inner, interpret)
+        return lax.dynamic_update_slice_in_dim(lam, lam_new_ext[1:-1], lo,
+                                               axis=0)
+
+    return lax.fori_loop(0, n_blocks, body, lam)
+
+
+def transport_solve_pallas_blocked(g, wsigned, tol, max_cycles: int,
+                                   n_inner: int = 2, interpret: bool = False,
+                                   n_blocks: int = None):
+    """Blocked big-field transport solve (the adjoint counterpart of
+    sweep_solve_pallas_blocked): axis 0 split into VMEM-sized blocks,
+    ascending+descending block-GS per cycle, halo planes injected from the
+    global state and pinned during the local cycle. Same fixed point as
+    the unblocked solver (parity-tested)."""
+    from mceik_tpu.eikonal.pallas_sweep import MAX_VMEM_FIELD_BYTES
+
+    if n_blocks is None:
+        field_bytes = 4 * int(np.prod(g.shape))
+        n_blocks = 1
+        # 6 whole-field operands (vs the forward's 4): half the block size.
+        while field_bytes // n_blocks > MAX_VMEM_FIELD_BYTES // 4:
+            n_blocks *= 2
+    if g.shape[0] % n_blocks != 0 or n_blocks >= g.shape[0]:
+        raise ValueError(
+            f"axis 0 ({g.shape[0]}) not divisible into {n_blocks} blocks")
+
+    tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + jnp.max(jnp.abs(g)))
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol_eff, it < max_cycles)
+
+    def body(carry):
+        lam, _, it = carry
+        lam_new = _transport_block_pass(lam, g, wsigned, n_inner, n_blocks,
+                                        True, interpret)
+        lam_new = _transport_block_pass(lam_new, g, wsigned, n_inner,
+                                        n_blocks, False, interpret)
+        delta = jnp.max(jnp.abs(lam_new - lam))
+        return lam_new, delta, it + 1
+
+    lam, _, _ = lax.while_loop(
+        cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
     return lam
 
 

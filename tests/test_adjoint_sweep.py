@@ -88,3 +88,27 @@ def test_packed_transport_matches_singles():
                         use_pallas="off") for i in range(P)])
     np.testing.assert_allclose(np.asarray(packed), np.asarray(singles),
                                atol=1e-5)
+
+
+def test_blocked_transport_matches_pure():
+    """Blocked (big-field) transport: forced multi-block partitioning +
+    halo pinning must reach the same fixed point as the unblocked solve."""
+    from mceik_tpu.eikonal.pallas_transport import (
+        transport_solve_pallas_blocked)
+
+    grid = Grid(shape=(12, 10, 8), spacing=(1.0, 1.0, 1.0))
+    cfg = EikonalConfig(method="sweep", tol=1e-6, max_iters=100)
+    key = jax.random.PRNGKey(0)
+    s = 1.0 + 0.3 * jax.random.uniform(key, grid.shape)
+    src = jnp.asarray([3.0, 5.0, 4.0], jnp.float32)
+    T = solve_eikonal(s, src, grid, cfg)
+    _, frozen = seed_source(s, src, grid, cfg.seed_radius)
+    ws = transport_weights(T, s, frozen, grid.spacing)
+    g = jax.random.normal(jax.random.fold_in(key, 2), grid.shape) * 0.1
+
+    lam_ref = transport_solve(g, ws, tol=1e-7, max_cycles=60,
+                              use_pallas="off")
+    lam_blk = transport_solve_pallas_blocked(g, ws, tol=1e-7, max_cycles=60,
+                                             interpret=True, n_blocks=4)
+    np.testing.assert_allclose(np.asarray(lam_blk), np.asarray(lam_ref),
+                               atol=1e-5)
