@@ -96,7 +96,15 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
             # grids instead holds P independent fields, ~P-x throughput.
             from mceik_tpu.eikonal.pallas_sweep import (
                 lane_pack_factor, sweep_solve_pallas,
-                sweep_solve_pallas_packed)
+                sweep_solve_pallas_2d_lanebatched, sweep_solve_pallas_packed)
+
+            if grid.ndim == 2:
+                # 2-D fields (configs 1/4): whole batch in the lane dim,
+                # all fields marched in lockstep — per-field kernels are
+                # dispatch-bound at SMC batch sizes.
+                return sweep_solve_pallas_2d_lanebatched(
+                    T0, frozen, s, grid.spacing, config.tol,
+                    config.max_iters, config.n_inner, interpret=interpret)
 
             B = T0.shape[0]
             P = lane_pack_factor(grid.shape)

@@ -285,6 +285,132 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
     return T
 
 
+# ---------------------------------------------------------------------------
+# Lane-batched 2-D solves: the whole batch in the lane dimension.
+#
+# 2-D fields (configs 1/4: crosswell tomography, SMC mutation over thousands
+# of particle slowness fields) are tiny (48^2 = 9 KB) — per-field kernels
+# are dispatch-bound and waste the VPU. Instead ALL fields march in
+# lockstep: layout (n_swept, n_plane, B) puts the batch in the 128-wide
+# lanes (full utilization at B >= 128, no seam masking needed since no
+# neighbor op crosses the batch axis) and the in-plane y-neighbors in
+# sublanes. Swapping the swept axis (x <-> y cycle) is a leading-dims
+# transpose that never touches the lane dim — nearly free in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _sweep2d_axis0_kernel(T_ref, s_ref, floor_ref, out_ref, *,
+                          spacing: Tuple[float, float], n_inner: int):
+    """Bidirectional GS plane march along axis 0 of (n0, n1, B) stacks of
+    2-D fields; planes are (n1, B) with y in sublanes and batch in lanes."""
+    n0 = T_ref.shape[0]
+    plane_shape = T_ref.shape[1:]
+    big_plane = jnp.full(plane_shape, BIG, jnp.float32)
+
+    out_ref[...] = T_ref[...]
+
+    def update_plane_at(i):
+        # i >= 1 form: strict "> 0" on a fori index is miscompiled in
+        # Pallas kernels on this backend (see docs/ARCHITECTURE.md).
+        prev = jnp.where(i >= 1, out_ref[jnp.maximum(i - 1, 0)], big_plane)
+        nxt = jnp.where(i <= n0 - 2, out_ref[jnp.minimum(i + 1, n0 - 1)],
+                        big_plane)
+        Tp = out_ref[i]
+        sp = s_ref[i]
+        floor_p = floor_ref[i]
+        a_ax = jnp.minimum(prev, nxt)
+        for _ in range(n_inner):
+            a = [a_ax, neighbor_min(Tp, 0)]   # y only; lanes are batch
+            Tp = jnp.minimum(Tp, local_solve(a, spacing, sp))
+            Tp = jnp.maximum(Tp, floor_p)
+        out_ref[i] = Tp
+
+    def fwd_body(i, _):
+        update_plane_at(i)
+        return 0
+
+    lax.fori_loop(0, n0, fwd_body, 0)
+
+    def bwd_body(k, _):
+        update_plane_at(n0 - 1 - k)
+        return 0
+
+    lax.fori_loop(0, n0, bwd_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
+                                              "interpret", "chunk"))
+def _sweep2d_axis0(T, s, floor, spacing, n_inner, interpret, chunk):
+    """One lane-batched sweep; inputs (n0, n1, B), B a multiple of chunk.
+    The batch is tiled over a pallas grid so Mosaic pipelines chunks."""
+    kernel = functools.partial(_sweep2d_axis0_kernel, spacing=spacing,
+                               n_inner=n_inner)
+    n0, n1, B = T.shape
+    spec = pl.BlockSpec((n0, n1, chunk), lambda b: (0, 0, b))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // chunk,),
+        out_shape=jax.ShapeDtypeStruct(T.shape, jnp.float32),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        interpret=interpret,
+    )(T, s, floor)
+
+
+def sweep_solve_pallas_2d_lanebatched(T0b, frozenb, sb, spacing, tol,
+                                      max_cycles, n_inner: int = 2,
+                                      interpret: bool = False):
+    """Fixed-point solve of a batch of 2-D fields, batch in lanes.
+
+    Inputs ``(B, n0, n1)``; same per-field contract as sweep_solve_pallas
+    (parity-tested). Joint convergence across the batch."""
+    B = T0b.shape[0]
+    n0, n1 = T0b.shape[1:]
+    chunk = 128
+    # Keep a chunk's working set (4 arrays, double buffered) in VMEM.
+    while chunk > 8 and 2 * 4 * 4 * n0 * n1 * chunk > 12 * 1024 * 1024:
+        chunk //= 2
+    pad = (-B) % chunk
+
+    def prep(x, fill):
+        x = x.astype(jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:],
+                                                     (pad,) + x.shape[1:])], 0)
+        return jnp.transpose(x, (1, 2, 0))          # (n0, n1, B')
+
+    T = prep(T0b, 0.0)
+    seed_floor = jnp.where(frozenb, T0b, 0.0)
+    floor_x = prep(seed_floor, 0.0)                  # x-sweep layout
+    s_x = prep(sb, 1.0)
+    # y-sweep layout: swap the two leading (non-lane) dims — cheap.
+    floor_y = jnp.transpose(floor_x, (1, 0, 2))
+    s_y = jnp.transpose(s_x, (1, 0, 2))
+    sp_x = (spacing[0], spacing[1])
+    sp_y = (spacing[1], spacing[0])
+
+    def cycle(T):
+        T = _sweep2d_axis0(T, s_x, floor_x, sp_x, n_inner, interpret, chunk)
+        Ty = jnp.transpose(T, (1, 0, 2))
+        Ty = _sweep2d_axis0(Ty, s_y, floor_y, sp_y, n_inner, interpret,
+                            chunk)
+        return jnp.transpose(Ty, (1, 0, 2))
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_cycles)
+
+    def body(carry):
+        T, _, it = carry
+        T_new = cycle(T)
+        delta = jnp.max(jnp.abs(T_new - T))
+        return T_new, delta, it + 1
+
+    T, _, _ = lax.while_loop(
+        cond, body, (T, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return jnp.transpose(T, (2, 0, 1))[:B]
+
+
 def _block_pass(T, s_b, floor_b, spacing, n_inner, n_blocks, ascending,
                 interpret):
     """One Gauss-Seidel pass over axis-0 blocks (each block solved by the
