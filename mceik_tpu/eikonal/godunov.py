@@ -81,6 +81,50 @@ def _sort3(a1, w1, a2, w2, a3, w3):
     return a1, w1, a2, w2, a3, w3
 
 
+def _sort3_vals(a1, a2, a3):
+    """Sort three arrays elementwise with a 3-element sorting network."""
+    lo, hi = jnp.minimum(a1, a2), jnp.maximum(a1, a2)
+    a3, hi = jnp.minimum(a3, hi), jnp.maximum(a3, hi)
+    lo, a3 = jnp.minimum(lo, a3), jnp.maximum(lo, a3)
+    return lo, a3, hi
+
+
+def _local_solve_iso(a: Sequence[jnp.ndarray], h: float, s: jnp.ndarray):
+    """Equal-spacing specialization of :func:`local_solve`.
+
+    With all weights equal (w = 1/h^2) the sorted-subset quadratics have
+    weight-free closed forms — no per-node ``sqrt(1/w)``, no divisions, and
+    the sorting network needn't carry weights (halves its selects):
+
+        t1 = a1 + s h
+        t2 = (a1 + a2)/2 + sqrt(2 s^2 h^2 - (a1 - a2)^2)/2
+        t3 = (a1+a2+a3)/3 + sqrt(3 s^2 h^2 - sum_{i<j}(a_i - a_j)^2)/3
+
+    This is the hot scalar program of the Pallas sweep kernels (all bench
+    workloads use isotropic grids), so the op count here is throughput.
+    """
+    s2h2 = (s * s) * (h * h)
+    if len(a) == 2:
+        a1 = jnp.minimum(a[0], a[1])
+        a2 = jnp.maximum(a[0], a[1])
+        t1 = a1 + s * h
+        d12 = a1 - a2
+        t2 = 0.5 * ((a1 + a2) + jnp.sqrt(
+            jnp.maximum(2.0 * s2h2 - d12 * d12, _DISC_FLOOR)))
+        return jnp.where(t1 <= a2, t1, t2)
+
+    a1, a2, a3 = _sort3_vals(a[0], a[1], a[2])
+    t1 = a1 + s * h
+    d12 = a1 - a2
+    t2 = 0.5 * ((a1 + a2) + jnp.sqrt(
+        jnp.maximum(2.0 * s2h2 - d12 * d12, _DISC_FLOOR)))
+    d13 = a1 - a3
+    d23 = a2 - a3
+    t3 = (1.0 / 3.0) * ((a1 + a2 + a3) + jnp.sqrt(jnp.maximum(
+        3.0 * s2h2 - (d12 * d12 + d13 * d13 + d23 * d23), _DISC_FLOOR)))
+    return jnp.where(t1 <= a2, t1, jnp.where(t2 <= a3, t2, t3))
+
+
 def local_solve(
     a: Sequence[jnp.ndarray],
     spacing: Sequence[float],
@@ -97,6 +141,8 @@ def local_solve(
       Candidate traveltime ``t`` per node (not yet min'd with the current T).
     """
     D = len(a)
+    if D in (2, 3) and len(set(float(h) for h in spacing)) == 1:
+        return _local_solve_iso(a, float(spacing[0]), s)
     w = [1.0 / (h * h) for h in spacing]
     s2 = s * s
 
