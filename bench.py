@@ -47,7 +47,11 @@ def main():
     data, _ = make_dataset(grid, dcfg, mcfg)
     posterior = build_posterior(mcfg, data, grid, ecfg)
 
-    n_chains = 8
+    # 16 chains/chip is the measured throughput sweet spot (8: 66.6,
+    # 16: 79.7, 32: 76.9 chain-steps/s): enough batch to amortize the
+    # per-pair dispatch gaps of the lax.map'd packed solves, not yet
+    # HBM/scheduling-limited.
+    n_chains = 16
     states = init_chain_states(posterior.logpost, posterior.init_params,
                                jax.random.PRNGKey(0), n_chains)
     example = posterior.init_params(jax.random.PRNGKey(1))
