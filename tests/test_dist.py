@@ -42,16 +42,65 @@ def test_sharded_equals_unsharded():
                                float(r_sharded.hyper.log_step), rtol=1e-4)
 
 
-def test_sharded_smc():
-    from tests.test_smc import ToyPosterior
-    from mceik_tpu.samplers.smc import init_particles, run_smc
+def test_sharded_smc_matches_unsharded():
+    """Production-path sharded SMC (particles over an 8-device mesh via
+    run_smc's mesh argument) must agree with the unsharded run: same
+    ladder, matching posterior moments and evidence (reduction order is
+    the only difference)."""
+    from tests.test_smc import ToyPosterior, SIGMA, OBS
+    from mceik_tpu.samplers.smc import run_smc
 
     post = ToyPosterior()
-    result = run_smc(post, jax.random.PRNGKey(0), n_particles=1024,
-                     n_mutation_steps=3, step_size=0.5)
-    x = np.asarray(result.state.params)
-    assert abs(x.mean(axis=0)[0] - 0.8) < 0.15
-    assert result.betas[-1] == 1.0
+    kwargs = dict(n_particles=2048, n_mutation_steps=3, step_size=0.5)
+    r_single = run_smc(post, jax.random.PRNGKey(0), **kwargs)
+
+    mesh = chain_mesh(n_devices=8)
+    r_sharded = run_smc(post, jax.random.PRNGKey(0), mesh=mesh, **kwargs)
+
+    # The population stayed sharded through resample + mutation.
+    assert r_sharded.state.params.sharding.spec[0] == "chains"
+
+    assert r_sharded.betas[-1] == 1.0
+    assert r_sharded.n_stages == r_single.n_stages
+    np.testing.assert_allclose(r_sharded.betas, r_single.betas, atol=1e-4)
+    assert abs(r_sharded.log_evidence - r_single.log_evidence) < 0.05
+
+    xs = np.asarray(r_sharded.state.params)
+    xu = np.asarray(r_single.state.params)
+    prec = 1.0 + 1.0 / SIGMA**2
+    mean_true = (1.0 / SIGMA**2) / prec * OBS
+    np.testing.assert_allclose(xs.mean(axis=0), mean_true, atol=0.08)
+    np.testing.assert_allclose(xs.mean(axis=0), xu.mean(axis=0), atol=0.08)
+    np.testing.assert_allclose(xs.var(axis=0), xu.var(axis=0), rtol=0.3)
+
+
+def test_smc_checkpoint_resume_exact(tmp_path):
+    """A killed-mid-ladder SMC run resumes to the identical result
+    (VERDICT r1: SMC state was never checkpointed)."""
+    from tests.test_smc import ToyPosterior
+    from mceik_tpu.samplers.smc import run_smc
+
+    post = ToyPosterior()
+    kwargs = dict(n_particles=512, n_mutation_steps=3, step_size=0.5,
+                  ess_threshold=0.9)
+    ck = str(tmp_path / "smc.h5")
+
+    r_full = run_smc(post, jax.random.PRNGKey(3), **kwargs)
+    assert r_full.n_stages >= 3, "toy ladder too short to test interruption"
+
+    # "Crash" after 2 stages, then resume from the checkpoint.
+    r_part = run_smc(post, jax.random.PRNGKey(3), max_stages=2,
+                     checkpoint_path=ck, **kwargs)
+    assert r_part.betas[-1] < 1.0
+    r_res = run_smc(post, jax.random.PRNGKey(3), resume=ck, **kwargs)
+
+    assert r_res.n_stages == r_full.n_stages
+    np.testing.assert_allclose(r_res.betas, r_full.betas, rtol=1e-6)
+    np.testing.assert_allclose(r_res.log_evidence, r_full.log_evidence,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_res.state.params),
+                               np.asarray(r_full.state.params),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_dryrun_multichip():
