@@ -139,7 +139,29 @@ def events_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
 
 def make_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
                  eik: EikonalConfig = EikonalConfig()):
-    """Dispatch on DataCfg.dataset; returns (data, truth_dict)."""
+    """Dispatch on DataCfg.dataset; returns (data, truth_dict).
+
+    Synthetic names generate data in-process; "file"/"csv" ingest observed
+    station/arrival tables (io/loaders.py) so real-data workflows run
+    through the identical posterior/sampler path.
+    """
+    if dcfg.dataset == "file":
+        from mceik_tpu.io.loaders import load_dataset_hdf5
+        if not dcfg.path:
+            raise ValueError('dataset="file" requires data.path')
+        data, truth = load_dataset_hdf5(dcfg.path)
+        if "slowness" in truth and tuple(truth["slowness"].shape) != tuple(grid.shape):
+            raise ValueError(
+                f"{dcfg.path}: stored truth slowness {truth['slowness'].shape}"
+                f" != grid {tuple(grid.shape)}")
+        return data, truth
+    if dcfg.dataset == "csv":
+        from mceik_tpu.io.loaders import load_events_csv
+        if not (dcfg.stations_path and dcfg.arrivals_path):
+            raise ValueError(
+                'dataset="csv" requires data.stations_path and '
+                'data.arrivals_path')
+        return load_events_csv(dcfg.stations_path, dcfg.arrivals_path), {}
     if dcfg.dataset == "crosswell2d":
         data, s_true = crosswell_dataset(grid, dcfg, mcfg, eik)
         return data, {"slowness": s_true}
