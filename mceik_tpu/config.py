@@ -52,18 +52,50 @@ class ModelCfg:
     inv_shape: Tuple[int, ...] = (16, 16)
     background_slowness: float = 1.0
     prior_sigma_u: float = 0.5
-    # Observation-noise model. sigma fixed unless hierarchical=True, in
-    # which case log_sigma is sampled with a N(log(sigma), sigma_hyper^2)
-    # hyperprior (config 5 "trans-dimensional noise hyperparameters").
+    # Observation-noise model (config 5 "trans-dimensional noise
+    # hyperparameters"):
+    #   "fixed"        — sigma constant.
+    #   "hierarchical" — continuous relaxation: log_sigma sampled with a
+    #                    N(0, sigma_hyper^2) hyperprior (scalar or
+    #                    per-station via per_station_noise).
+    #   "spike_slab"   — genuinely trans-dimensional per-station noise:
+    #                    indicator z_j ~ Bernoulli(noise_p0) switches
+    #                    station j between the base sigma (spike) and an
+    #                    inflated sigma * exp(log_sigma_j) with log_sigma_j
+    #                    ~ N(noise_slab_mu, sigma_hyper^2) (slab; the
+    #                    location keeps "active" meaning a *qualitatively*
+    #                    noisy station — a zero-mode slab would absorb
+    #                    ordinary chi^2 fluctuation of clean stations'
+    #                    sample RMS). Indicators move by exact
+    #                    systematic-scan Gibbs between continuous steps
+    #                    (model/posterior.py noise_gibbs); the
+    #                    active-component count is the sampled dimension.
+    # hierarchical_noise=True is honored as noise_model="hierarchical" for
+    # backward compatibility.
     sigma: float = 0.01
+    noise_model: Optional[str] = None
     hierarchical_noise: bool = False
     sigma_hyper: float = 1.0
     per_station_noise: bool = False
+    noise_p0: float = 0.1
+    noise_slab_mu: float = 2.0  # slab center: e^2 ~ 7.4x inflation
+
+    def resolved_noise_model(self) -> str:
+        if self.noise_model is not None:
+            return self.noise_model
+        return "hierarchical" if self.hierarchical_noise else "fixed"
     # Event priors (joint/locate modes).
     prior_sigma_t0: float = 1.0
     # Analytic origin-time handling: demean residuals per event (exact
     # marginalization under improper flat t0 prior).
     marginalize_t0: bool = False
+    # Locate mode over a *given* heterogeneous velocity model: HDF5 file
+    # (io/loaders.py save_slowness_hdf5) holding the fixed slowness field;
+    # None keeps the homogeneous background. table_cache_dir additionally
+    # caches the per-station traveltime tables on disk
+    # (forward/tables_cache.py) for reuse across event batches.
+    fixed_slowness_path: Optional[str] = None
+    table_cache_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,7 +122,14 @@ class SamplerCfg:
 
 @dataclasses.dataclass(frozen=True)
 class DataCfg:
-    dataset: str = "crosswell2d"  # crosswell2d | checkerboard3d | events3d
+    # Synthetic generators: crosswell2d | checkerboard3d | events3d.
+    # Observed data: "file" (HDF5 written by io/loaders.py, station/arrival
+    # tables + optional truth model) or "csv" (stations_path + arrivals_path
+    # station/arrival tables; missing picks -> masked residuals).
+    dataset: str = "crosswell2d"
+    path: Optional[str] = None
+    stations_path: Optional[str] = None
+    arrivals_path: Optional[str] = None
     n_src: int = 8
     n_rec: int = 12
     n_events: int = 0

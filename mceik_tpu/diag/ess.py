@@ -75,3 +75,18 @@ def ess(x: np.ndarray) -> float:
         tau += 2.0 * pair
         t += 2
     return float(n * m / max(tau, 1e-12))
+
+
+def ess_per_param(x: np.ndarray) -> np.ndarray:
+    """Per-parameter ESS. x: (n_draws, n_chains, ...) -> (...).
+
+    The north-star quantity is posterior-moment accuracy of the *tracked
+    fields* (slowness cells, hypocenters), so ESS of the scalar logpost
+    alone flatters mixing; min/median over this array is what the
+    moments criterion actually feels (VERDICT r1 weak #6).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n, m = x.shape[:2]
+    flat = x.reshape(n, m, -1)
+    out = np.asarray([ess(flat[:, :, k]) for k in range(flat.shape[2])])
+    return out.reshape(x.shape[2:])

@@ -20,9 +20,21 @@ from mceik_tpu.config import DistCfg
 
 
 def init_distributed(cfg: DistCfg) -> None:
-    """Multi-host initialization (config 5). No-op in single-process runs."""
+    """Multi-host initialization (config 5). No-op in single-process runs.
+
+    ``jax.distributed.initialize()`` only succeeds under a cluster
+    launcher (TPU pod metadata / coordinator env); outside one it raises.
+    Falling back to single-process keeps pod configs runnable at reduced
+    scale on a dev chip — the c5 config is smoke-testable anywhere.
+    """
     if cfg.multihost:
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # no coordinator: single-process fallback
+            import warnings
+            warnings.warn(
+                f"dist.multihost=true but jax.distributed.initialize() "
+                f"failed ({e}); continuing single-process")
 
 
 def chain_mesh(cfg: Optional[DistCfg] = None, n_devices: Optional[int] = None,

@@ -32,6 +32,11 @@ class Params:
     hypo_raw: Optional[jnp.ndarray] = None   # (n_ev, D) unconstrained
     t0: Optional[jnp.ndarray] = None         # (n_ev,)
     log_sigma: Optional[jnp.ndarray] = None  # () or (n_sta,)
+    # Spike-slab noise indicators (n_sta,) in {0.,1.} — trans-dimensional
+    # noise components. Stored as float so the chain state stays one dtype;
+    # frozen under every continuous kernel (prior scale 0) and moved only
+    # by the posterior's exact Gibbs sweep (posterior.noise_gibbs).
+    noise_z: Optional[jnp.ndarray] = None
 
 
 def slowness_from_u(u: jnp.ndarray, grid: Grid, background: jnp.ndarray) -> jnp.ndarray:

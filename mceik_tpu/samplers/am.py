@@ -54,7 +54,10 @@ def _proposal_std(hyper: AMHyper):
     def std_leaf(m2, scale):
         var = m2 / jnp.maximum(n - 1.0, 1.0)
         adapted = jnp.sqrt(var + (hyper.reg * scale) ** 2)
-        return jnp.where(ready, adapted, scale)
+        # scale == 0 marks frozen coordinates (spike-slab indicators moved
+        # only by Gibbs): adaptation must never thaw them even though the
+        # Gibbs flips give them cross-chain variance.
+        return jnp.where(scale > 0, jnp.where(ready, adapted, scale), 0.0)
 
     return jax.tree.map(std_leaf, hyper.welford.m2, hyper.scales)
 

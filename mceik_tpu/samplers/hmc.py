@@ -129,7 +129,11 @@ def make_adapter(target_accept: float = 0.8,
 
         def im(m2, s):
             var = m2 / jnp.maximum(n - 1.0, 1.0)
-            return jnp.where(ready, var + 1e-6 * s * s, s * s)
+            # s == 0 marks frozen coordinates (e.g. spike-slab indicators):
+            # inverse mass stays 0 so leapfrog never moves them, even when
+            # Gibbs flips give them nonzero pooled variance.
+            return jnp.where(s > 0, jnp.where(ready, var + 1e-6 * s * s, s * s),
+                             0.0)
 
         inv_mass = jax.tree.map(im, welford.m2, hyper.scales)
         return hyper.replace(da=da, welford=welford, inv_mass=inv_mass)

@@ -84,6 +84,7 @@ def make_kernel(logpost_fn: Callable, max_tree_depth: int = 6,
             log_w_total=jnp.asarray(0.0, jnp.float32),  # log w rel. exp(-H0)
             stopped=jnp.asarray(False),
             diverged=jnp.asarray(False),
+            moved=jnp.asarray(False),
             accept_sum=jnp.asarray(0.0, jnp.float32),
             n_leaves=jnp.asarray(0.0, jnp.float32),
             depth_reached=jnp.asarray(0, jnp.int32),
@@ -195,6 +196,7 @@ def make_kernel(logpost_fn: Callable, max_tree_depth: int = 6,
             take_new = jnp.logical_and(use, take_new)
             carry["z_prop"] = tree_where(take_new, sub["z_sub"], carry["z_prop"])
             carry["lp_prop"] = jnp.where(take_new, sub["lp_sub"], carry["lp_prop"])
+            carry["moved"] = jnp.logical_or(carry["moved"], take_new)
             carry["log_w_total"] = jnp.where(
                 use, jnp.logaddexp(carry["log_w_total"], sub["log_w_sub"]),
                 carry["log_w_total"])
@@ -228,7 +230,9 @@ def make_kernel(logpost_fn: Callable, max_tree_depth: int = 6,
 
         accept_prob = carry["accept_sum"] / jnp.maximum(carry["n_leaves"], 1.0)
         info = {"accept_prob": accept_prob,
-                "accepted": (carry["lp_prop"] != state.logpost).astype(jnp.float32),
+                # Explicit took-a-subtree flag — inferring movement from
+                # lp_prop != logpost false-negatives on equal logposts.
+                "accepted": carry["moved"].astype(jnp.float32),
                 "divergent": carry["diverged"].astype(jnp.float32),
                 "tree_depth": carry["depth_reached"].astype(jnp.float32)}
         return MHState(params=carry["z_prop"], logpost=carry["lp_prop"]), info
