@@ -72,31 +72,25 @@ def _fwd(slowness, src_xyz, grid, config):
 
 
 def _bwd(grid, config, residuals, g):
+    # Swept GS transport (adjoint_sweep.py), same scheme as the batched
+    # path: the per-cell Jacobi iteration this replaces moved information
+    # one cell per step and in practice hit its cap still unconverged
+    # (measured 192/192 iters, residual 5e-2 on 32^3 — BASELINE.md
+    # 2026-08-18). The sweep converges in O(cycles) and warns loudly if
+    # the cycle cap is ever hit (no silently truncated gradients).
+    from mceik_tpu.eikonal.adjoint_sweep import (transport_solve,
+                                                 transport_weights)
+
     slowness, src_xyz, T = residuals
     slowness = slowness.astype(jnp.float32)
 
     F = lambda T_, s_, x_: _fixed_point_map(T_, s_, x_, grid, config)
     _, vjp_fn = jax.vjp(F, T, slowness, src_xyz)
 
-    # Adjoint transport iteration: lambda <- (dF/dT)^T lambda + g.
-    # Bounded by ~grid diameter; converges earlier on smooth media.
-    max_iters = 2 * sum(grid.shape)
-    tol = jnp.asarray(config.tol, jnp.float32) * (
-        1e-3 + jnp.max(jnp.abs(g)))
-
-    def cond(carry):
-        _, delta, it = carry
-        return jnp.logical_and(delta > tol, it < max_iters)
-
-    def body(carry):
-        lam, _, it = carry
-        dT, _, _ = vjp_fn(lam)
-        lam_new = dT + g
-        delta = jnp.max(jnp.abs(lam_new - lam))
-        return lam_new, delta, it + 1
-
-    lam, _, _ = lax.while_loop(
-        cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
+    _, frozen = seed_source(slowness, src_xyz, grid, config.seed_radius)
+    ws = transport_weights(T, slowness, frozen, grid.spacing)
+    lam = transport_solve(g, ws, config.tol, config.max_iters,
+                          config.n_inner, use_pallas=config.use_pallas)
 
     _, ds, dsrc = vjp_fn(lam)
     return ds, dsrc

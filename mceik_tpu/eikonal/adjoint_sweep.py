@@ -185,9 +185,105 @@ def transport_solve(g, wsigned, tol, max_cycles: int, n_inner: int = 2,
         return lam_new, delta, it + 1
 
     lam0 = g
-    lam, _, _ = lax.while_loop(
+    lam, delta, it = lax.while_loop(
         cond, body, (lam0, jnp.asarray(jnp.inf, jnp.float32), 0))
+
+    # A cap-truncated adjoint must never be silent (a truncated gradient
+    # biases HMC/NUTS invisibly). The callback fires only when the branch
+    # is taken, so the converged path pays nothing.
+    def _warn(args):
+        d, i = args
+        jax.debug.print(
+            "WARNING: adjoint transport hit its cycle cap unconverged "
+            "(residual {d:.3e} > tol {t:.3e} after {i} cycles); gradients "
+            "may be truncated — raise EikonalConfig.max_iters.",
+            d=d, t=tol_eff, i=i)
+        return 0
+
+    lax.cond(delta > tol_eff, _warn, lambda _: 0, (delta, it))
     return lam
+
+
+@functools.lru_cache(maxsize=64)
+def _transport_core(grid, config, interpret: bool):
+    """Flat-batch transport solver behind a ``custom_vmap`` boundary.
+
+    Without the boundary, a sampler's chain ``vmap`` over the implicit
+    VJP adds a batch dim to the transport ``pallas_call`` itself — Mosaic
+    then multi-buffers whole-batch VMEM blocks (measured: OOM over the
+    16 MB scoped limit at 8 chains x 8 sources on 64^3) and the lane
+    packing degrades. The rule merges outer axes into the flat batch,
+    mirroring the forward solver's boundary (eikonal/batched.py).
+    """
+    from mceik_tpu.eikonal.solve import seed_source
+
+    @jax.custom_batching.custom_vmap
+    def core(g, T, s_b, srcs):
+        frozen = jax.vmap(
+            lambda xi, si: seed_source(si, xi, grid, config.seed_radius)[1]
+        )(srcs, s_b)
+        ws = jax.vmap(
+            lambda Ti, si, fi: transport_weights(Ti, si, fi, grid.spacing)
+        )(T, s_b, frozen)
+
+        pallas = config.use_pallas
+        if pallas == "auto":
+            pallas = "on" if jax.default_backend() == "tpu" else "off"
+        if pallas in ("on", "interpret"):
+            from mceik_tpu.eikonal.pallas_sweep import (MAX_VMEM_FIELD_BYTES,
+                                                        lane_pack_factor)
+            from mceik_tpu.eikonal.pallas_transport import (
+                transport_solve_pallas_blocked, transport_solve_pallas_packed)
+
+            interp = interpret or pallas == "interpret"
+            B = g.shape[0]
+
+            if 4 * grid.n_nodes > MAX_VMEM_FIELD_BYTES:
+                # Big fields (128^3+): blocked transport, mirroring the
+                # forward's routing in forward/predict.py.
+                f = lambda args: transport_solve_pallas_blocked(
+                    args[0], tuple(args[1:]), config.tol, config.max_iters,
+                    config.n_inner, interpret=interp)
+                return lax.map(f, (g,) + ws)
+
+            P = max(1, lane_pack_factor(grid.shape))
+            pad = (-B) % P
+
+            def cat_pad(x):
+                return (jnp.concatenate([x, x[-1:].repeat(pad, 0)], 0)
+                        if pad else x)
+
+            shp = (-1, P) + grid.shape
+            g_p = cat_pad(g).reshape(shp)
+            ws_p = tuple(cat_pad(w).reshape(shp) for w in ws)
+            f = lambda args: transport_solve_pallas_packed(
+                args[0], tuple(args[1:]), config.tol, config.max_iters,
+                config.n_inner, interpret=interp)
+            out = lax.map(f, (g_p,) + ws_p)
+            return out.reshape((-1,) + grid.shape)[:B]
+
+        return jax.vmap(
+            lambda gi, *wsi: transport_solve(gi, tuple(wsi), config.tol,
+                                             config.max_iters, config.n_inner,
+                                             use_pallas="off")
+        )(g, *ws)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, g, T, s_b, srcs):
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+
+        args = [ensure(x, b) for x, b in zip((g, T, s_b, srcs), in_batched)]
+        inner = args[0].shape[1]
+
+        def flat(x):
+            return x.reshape((axis_size * inner,) + x.shape[2:])
+
+        out = core(*[flat(x) for x in args])
+        return out.reshape((axis_size, inner) + out.shape[1:]), True
+
+    return core
 
 
 def transport_solve_batched(g, T, s_b, srcs, grid, config,
@@ -198,56 +294,8 @@ def transport_solve_batched(g, T, s_b, srcs, grid, config,
     traveltimes; ``s_b`` per-element slowness; ``srcs`` solve origins (for
     re-deriving the frozen seed masks). Routes to the lane-packed Pallas
     kernel on TPU, vmapped pure-JAX sweeps elsewhere — mirroring the
-    forward solver's routing (eikonal/batched.py).
+    forward solver's routing (eikonal/batched.py). Outer ``vmap`` axes
+    (sampler chains) are merged into the flat batch by the core's
+    ``custom_vmap`` rule.
     """
-    from mceik_tpu.eikonal.solve import seed_source
-
-    D = grid.ndim
-    frozen = jax.vmap(
-        lambda xi, si: seed_source(si, xi, grid, config.seed_radius)[1]
-    )(srcs, s_b)
-    ws = jax.vmap(
-        lambda Ti, si, fi: transport_weights(Ti, si, fi, grid.spacing)
-    )(T, s_b, frozen)
-
-    pallas = config.use_pallas
-    if pallas == "auto":
-        pallas = "on" if jax.default_backend() == "tpu" else "off"
-    if pallas in ("on", "interpret"):
-        from mceik_tpu.eikonal.pallas_sweep import (MAX_VMEM_FIELD_BYTES,
-                                                    lane_pack_factor)
-        from mceik_tpu.eikonal.pallas_transport import (
-            transport_solve_pallas_blocked, transport_solve_pallas_packed)
-
-        interp = interpret or pallas == "interpret"
-        B = g.shape[0]
-
-        if 4 * grid.n_nodes > MAX_VMEM_FIELD_BYTES:
-            # Big fields (128^3+): blocked transport, mirroring the
-            # forward's routing in forward/predict.py.
-            f = lambda args: transport_solve_pallas_blocked(
-                args[0], tuple(args[1:]), config.tol, config.max_iters,
-                config.n_inner, interpret=interp)
-            return lax.map(f, (g,) + ws)
-
-        P = max(1, lane_pack_factor(grid.shape))
-        pad = (-B) % P
-
-        def cat_pad(x):
-            return (jnp.concatenate([x, x[-1:].repeat(pad, 0)], 0)
-                    if pad else x)
-
-        shp = (-1, P) + grid.shape
-        g_p = cat_pad(g).reshape(shp)
-        ws_p = tuple(cat_pad(w).reshape(shp) for w in ws)
-        f = lambda args: transport_solve_pallas_packed(
-            args[0], tuple(args[1:]), config.tol, config.max_iters,
-            config.n_inner, interpret=interp)
-        out = lax.map(f, (g_p,) + ws_p)
-        return out.reshape((-1,) + grid.shape)[:B]
-
-    return jax.vmap(
-        lambda gi, *wsi: transport_solve(gi, tuple(wsi), config.tol,
-                                         config.max_iters, config.n_inner,
-                                         use_pallas="off")
-    )(g, *ws)
+    return _transport_core(grid, config, interpret)(g, T, s_b, srcs)
