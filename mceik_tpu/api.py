@@ -68,6 +68,15 @@ def _dispatch_sampler(scfg, posterior):
     if scfg.algorithm == "am":
         return (am.make_kernel(lp), am.make_adapter(scfg.target_accept),
                 am.init_hyper(scales, scfg.step_size, example), None, lp)
+    if scfg.algorithm == "am_full":
+        # Classic full-covariance Haario AM — for small/medium parameter
+        # counts (strongly correlated posteriors where the diagonal
+        # variant's mixing collapses); d^2 covariance storage caps it at a
+        # few thousand dims.
+        from mceik_tpu.samplers import am_full
+        return (am_full.make_kernel(lp),
+                am_full.make_adapter(scfg.target_accept),
+                am_full.init_hyper(scales, scfg.step_size, example), None, lp)
     if scfg.algorithm == "pcn":
         from mceik_tpu.model.params import Params, box_logjac
         from mceik_tpu.samplers import pcn

@@ -100,7 +100,7 @@ class ModelCfg:
 
 @dataclasses.dataclass(frozen=True)
 class SamplerCfg:
-    algorithm: str = "rwm"  # rwm | am | hmc | nuts | smc
+    algorithm: str = "rwm"  # rwm | am | am_full | pcn | hmc | nuts | smc
     n_chains: int = 4
     n_warmup: int = 500
     n_samples: int = 1000

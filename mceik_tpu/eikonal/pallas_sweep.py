@@ -232,23 +232,47 @@ def _unpack(y, P, inv_sperm):
     return jnp.transpose(xt, inv_sperm)
 
 
-def sweep_cycle_pallas_packed(Tst, s_packed, floor_packed, spacing,
-                              n_inner: int = 2, interpret: bool = False):
-    """One full cycle over all axes on stacked ``(P,) + field`` arrays.
+def _repack(y, P, axis_from: int, axis_to: int):
+    """Fused packed(axis_from) -> packed(axis_to) relayout: ONE
+    reshape-transpose-reshape instead of a full unpack to the canonical
+    stacked layout followed by a fresh pack (two whole-field copies).
+    This is the transpose-tax fix (VERDICT r1 #4): T stays resident in
+    packed layouts for the entire solve; only the per-axis transition
+    moves data."""
+    if axis_from == axis_to:
+        return y
+    D = 3
+    perm_a = (axis_from,) + tuple(d for d in range(D) if d != axis_from)
+    perm_b = (axis_to,) + tuple(d for d in range(D) if d != axis_to)
+    # Unmerged packed-layout axis labels: (perm[0], perm[1], 'P', perm[2]).
+    la = [perm_a[0], perm_a[1], "P", perm_a[2]]
+    lb = [perm_b[0], perm_b[1], "P", perm_b[2]]
+    na, nb, W = y.shape
+    y4 = y.reshape(na, nb, P, W // P)
+    y4t = jnp.transpose(y4, tuple(la.index(l) for l in lb))
+    s = y4t.shape
+    return y4t.reshape(s[0], s[1], s[2] * s[3])
 
-    ``s_packed``/``floor_packed`` are per-axis pre-packed operands (they are
-    loop invariants of the outer fixed-point iteration — packing them once
-    per solve instead of once per cycle saves 2/3 of the HBM relayouts)."""
-    P = Tst.shape[0]
-    D = Tst.ndim - 1
+
+def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
+                              n_inner: int = 2, interpret: bool = False):
+    """One full cycle over all axes, RESIDENT in packed layouts: input and
+    output are packed layout axis-0; between axis sweeps the field moves
+    by one fused ``_repack`` relayout (not unpack+pack — that pair cost
+    ~240 us/axis vs the 790 us kernel at 64^3, a ~23% tax; see BASELINE.md
+    2026-08-19).
+
+    ``s_packed``/``floor_packed`` are per-axis pre-packed operands (loop
+    invariants of the outer fixed-point iteration — packed once per
+    solve)."""
+    D = 3
     for axis in range(D):
-        perm, sperm, inv_sperm = _pack_perms(D, axis)
+        perm = (axis,) + tuple(d for d in range(D) if d != axis)
         sp = tuple(spacing[p] for p in perm)
-        Tp = _pack(Tst, sperm)
-        out = sweep_axis0(Tp, s_packed[axis], floor_packed[axis], sp,
-                          n_inner, interpret, n_seg=P)
-        Tst = _unpack(out, P, inv_sperm)
-    return Tst
+        Tp = sweep_axis0(Tp, s_packed[axis], floor_packed[axis], sp,
+                         n_inner, interpret, n_seg=P)
+        Tp = _repack(Tp, P, axis, (axis + 1) % D)
+    return Tp
 
 
 def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
@@ -257,7 +281,9 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
 
     Args are stacked ``(P,) + field_shape``; same contract per field as
     sweep_solve_pallas (parity-tested). Convergence is joint (the pair
-    iterates until the slowest member converges)."""
+    iterates until the slowest member converges). The iterate stays in
+    the packed axis-0 layout across cycles (delta is layout-invariant);
+    canonical layout is touched only once at entry and once at exit."""
     P = T0.shape[0]
     D = T0.ndim - 1
     seed_floor = jnp.where(frozen, T0, 0.0).astype(jnp.float32)
@@ -269,20 +295,23 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
         floor_packed.append(_pack(seed_floor, sperm))
     s_packed, floor_packed = tuple(s_packed), tuple(floor_packed)
 
+    _, sperm0, inv_sperm0 = _pack_perms(D, 0)
+    Tp0 = _pack(T0, sperm0)
+
     def cond(carry):
         _, delta, it = carry
         return jnp.logical_and(delta > tol, it < max_cycles)
 
     def body(carry):
-        T, _, it = carry
-        T_new = sweep_cycle_pallas_packed(T, s_packed, floor_packed,
-                                          spacing, n_inner, interpret)
-        delta = jnp.max(jnp.abs(T_new - T))
-        return T_new, delta, it + 1
+        Tp, _, it = carry
+        Tp_new = sweep_cycle_pallas_packed(Tp, s_packed, floor_packed,
+                                           spacing, P, n_inner, interpret)
+        delta = jnp.max(jnp.abs(Tp_new - Tp))
+        return Tp_new, delta, it + 1
 
-    T, _, _ = lax.while_loop(
-        cond, body, (T0, jnp.asarray(jnp.inf, jnp.float32), 0))
-    return T
+    Tp, _, _ = lax.while_loop(
+        cond, body, (Tp0, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return _unpack(Tp, P, inv_sperm0)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mceik_tpu.eikonal.godunov import shift_filled
-from mceik_tpu.eikonal.pallas_sweep import _pack, _pack_perms, _unpack
+from mceik_tpu.eikonal.pallas_sweep import _pack, _pack_perms, _repack, _unpack
 
 
 def _seam_zero(x, axis, n_seg, side):
@@ -270,14 +270,15 @@ def transport_solve_pallas_packed(g, wsigned, tol, max_cycles: int,
         g_packed.append(_pack(g, sperm))
         ws_packed.append(tuple(_pack(wsigned[p], sperm) for p in perm))
 
-    def cycle(lam):
+    def cycle(lam_p):
+        # lam stays resident in packed layouts; one fused _repack per
+        # axis transition instead of unpack+pack (see pallas_sweep.py's
+        # sweep_cycle_pallas_packed — the same transpose-tax fix).
         for axis in range(D):
-            _, sperm, inv_sperm = _pack_perms(D, axis)
-            lam_p = _pack(lam, sperm)
-            out = transport_axis0(lam_p, g_packed[axis], ws_packed[axis],
-                                  n_inner, interpret, n_seg=P)
-            lam = _unpack(out, P, inv_sperm)
-        return lam
+            lam_p = transport_axis0(lam_p, g_packed[axis], ws_packed[axis],
+                                    n_inner, interpret, n_seg=P)
+            lam_p = _repack(lam_p, P, axis, (axis + 1) % D)
+        return lam_p
 
     tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + jnp.max(jnp.abs(g)))
 
@@ -286,11 +287,12 @@ def transport_solve_pallas_packed(g, wsigned, tol, max_cycles: int,
         return jnp.logical_and(delta > tol_eff, it < max_cycles)
 
     def body(carry):
-        lam, _, it = carry
-        lam_new = cycle(lam)
-        delta = jnp.max(jnp.abs(lam_new - lam))
+        lam_p, _, it = carry
+        lam_new = cycle(lam_p)
+        delta = jnp.max(jnp.abs(lam_new - lam_p))
         return lam_new, delta, it + 1
 
+    _, sperm0, inv_sperm0 = _pack_perms(D, 0)
     lam, _, _ = lax.while_loop(
-        cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
-    return lam
+        cond, body, (g_packed[0], jnp.asarray(jnp.inf, jnp.float32), 0))
+    return _unpack(lam, P, inv_sperm0)

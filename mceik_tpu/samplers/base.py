@@ -61,7 +61,7 @@ def _one_step(kernel, states, hyper, key):
 
 @partial(jax.jit, static_argnames=("kernel", "adapt_fn", "n_warmup", "n_steps",
                                    "thin", "track_fn", "finalize_fn",
-                                   "collect_fn"))
+                                   "collect_fn", "t0_offset"))
 def run_mcmc(
     kernel: Callable,
     adapt_fn: Optional[Callable],
@@ -75,6 +75,7 @@ def run_mcmc(
     finalize_fn: Optional[Callable] = None,
     collect_fn: Optional[Callable] = None,
     init_welford: Optional[Welford] = None,
+    t0_offset: int = 0,
 ) -> MCMCResult:
     """Run warmup (with adaptation) then sampling (with collection).
 
@@ -88,6 +89,10 @@ def run_mcmc(
                  Default: track_fn.
     finalize_fn: hyper -> hyper applied once after warmup (e.g. switch to
                  the dual-averaged step size).
+    t0_offset:   warmup-schedule time origin — pass the number of warmup
+                 steps already taken when CHUNKING one logical warmup into
+                 several calls (keeps Robbins-Monro / dual-averaging decay
+                 schedules continuous across chunks).
     """
     if track_fn is None:
         track_fn = lambda p: p
@@ -104,7 +109,8 @@ def run_mcmc(
 
     key, kw = jax.random.split(key)
     (states, hyper, _), warmup_accept = lax.scan(
-        warmup_step, (init_states, init_hyper, kw), jnp.arange(n_warmup))
+        warmup_step, (init_states, init_hyper, kw),
+        jnp.arange(t0_offset, t0_offset + n_warmup))
     if finalize_fn is not None:
         hyper = finalize_fn(hyper)
 

@@ -1,0 +1,41 @@
+"""Golden-run statistical acceptance (SURVEY.md §4 "Statistical
+equivalence"; VERDICT r1 #6): committed long-run posterior moments with MC
+error bars; CI re-runs the same reduced c1-/c2-shaped problems with a
+different seed and asserts per-cell z-scores within Monte-Carlo error.
+
+Both runs are fully seeded so the check is deterministic — calibrated once
+when the golden was committed, after which any drift in the likelihood,
+eikonal solver or sampler kernels moves the check mean off the golden mean
+by more than MC error and fails.
+"""
+
+import numpy as np
+import pytest
+
+from mceik_tpu.diag.golden import PROBLEMS, load_golden, z_scores
+
+CHECK_BUDGET = {
+    # name: (seed, n_warmup, n_steps)
+    "c1_small": (31, 300, 2500),
+    "c2_small": (32, 300, 2500),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_golden_moments(name):
+    golden = load_golden(name)
+    seed, n_warmup, n_steps = CHECK_BUDGET[name]
+    z, stats = z_scores(name, golden, seed, n_warmup, n_steps)
+    # Per-cell agreement within MC error. 3.5 rather than 3.0: the se
+    # estimates themselves carry ESS-estimation noise; the run is seeded,
+    # so this is a fixed calibrated margin, not a flake allowance.
+    assert z.max() < 3.5, (
+        f"{name}: max |z| = {z.max():.2f} at cell {int(z.argmax())} — "
+        f"posterior moments drifted beyond Monte-Carlo error "
+        f"(z = {np.round(z, 2).tolist()})")
+    assert np.median(z) < 1.5, (
+        f"{name}: median |z| = {np.median(z):.2f} — broad moment drift")
+    # The check run must actually be exploring (guards against a silently
+    # stuck sampler making the z-test vacuous through huge se).
+    assert stats["accept"] > 0.05, stats["accept"]
+    assert float(np.median(stats["ess"])) > 20.0, stats["ess"]

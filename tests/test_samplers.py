@@ -101,3 +101,50 @@ def test_nuts_gaussian():
     x1 = np.asarray(result.samples)[:, :, 1]
     assert ess(x1) > 500, ess(x1)
     assert split_rhat(np.asarray(result.samples)).max() < 1.05
+
+
+def test_am_full_correlated_gaussian():
+    """Full-covariance Haario AM must both recover moments AND learn the
+    cross-coordinate correlation (its whole reason to exist — the
+    diagonal variant cannot represent it)."""
+    from mceik_tpu.samplers import am_full
+
+    scales = jnp.ones(2)
+    states = init_chain_states(logpost, init_params, jax.random.PRNGKey(0), 8)
+    ex = init_params(jax.random.PRNGKey(9))
+    result = run_mcmc(
+        am_full.make_kernel(logpost), am_full.make_adapter(),
+        states, am_full.init_hyper(scales, 1.0, ex),
+        jax.random.PRNGKey(1), n_warmup=1000, n_steps=4000)
+    _check_moments(result, mean_tol=0.25, var_rtol=0.35)
+    acc = float(np.mean(np.asarray(result.accept_trace)))
+    assert 0.1 < acc < 0.45, acc
+    # The adapted covariance's correlation must approach the target's 0.3.
+    h = result.hyper
+    cov = np.asarray(h.m2) / max(float(h.count) - 1.0, 1.0)
+    corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    target_corr = COV[0, 1] / np.sqrt(COV[0, 0] * COV[1, 1])
+    assert abs(corr - target_corr) < 0.15, (corr, target_corr)
+
+
+def test_am_full_frozen_coordinates():
+    """Coordinates with prior scale 0 (spike-slab indicators) must never
+    move under am_full, even after adaptation sees cross-chain variance."""
+    from mceik_tpu.samplers import am_full
+
+    def lp3(x):
+        return logpost(x[:2]) - 0.5 * jnp.sum(x[2:] ** 2)
+
+    def init3(key):
+        return jax.random.normal(key, (3,), jnp.float32)
+
+    scales = jnp.asarray([1.0, 1.0, 0.0])
+    states = init_chain_states(lp3, init3, jax.random.PRNGKey(0), 8)
+    ex = init3(jax.random.PRNGKey(9))
+    frozen0 = np.asarray(states.params)[:, 2].copy()
+    result = run_mcmc(
+        am_full.make_kernel(lp3), am_full.make_adapter(),
+        states, am_full.init_hyper(scales, 1.0, ex),
+        jax.random.PRNGKey(1), n_warmup=300, n_steps=300)
+    frozen1 = np.asarray(result.states.params)[:, 2]
+    np.testing.assert_array_equal(frozen0, frozen1)

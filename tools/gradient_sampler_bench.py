@@ -1,0 +1,228 @@
+"""Gradient-sampler benchmark on the north-star workload: effective
+samples/s/chip on 64^3 3-D checkerboard tomography (BASELINE.json metric;
+VERDICT r1 next-step #1).
+
+Runs AM (the r1 headline), HMC, and NUTS on the identical config-2-shaped
+posterior and reports, per sampler:
+
+  - chain-steps/s (steady state, post-warmup)
+  - ESS/s of the scalar logpost (the r1 number — flatters mixing)
+  - min / median per-cell ESS/s of the slowness parameters u (the quantity
+    the posterior-moments criterion actually feels)
+
+All device work is CHUNKED into executions of ~15 s: single jit calls
+beyond ~60 s die with "TPU device error" through the axon tunnel and wedge
+the chip for tens of minutes (measured 2026-08-19; the r1 workloads never
+ran a single execution that long). Chunk boundaries pass ``t0_offset`` so
+adaptation schedules stay continuous.
+
+Usage:
+  python tools/gradient_sampler_bench.py [--samplers am,hmc,nuts]
+      [--quick] (reduced budgets for smoke-testing the harness)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_CHUNK_S = 15.0
+
+
+def build(n=64, inv=12, n_src=8, n_rec=12, differentiable=False):
+    from mceik_tpu.config import DataCfg, EikonalCfg, ModelCfg
+    from mceik_tpu.datasets import make_dataset
+    from mceik_tpu.grid import Grid
+    from mceik_tpu.model.posterior import build_posterior
+
+    grid = Grid(shape=(n, n, n), spacing=(1.0, 1.0, 1.0))
+    mcfg = ModelCfg(mode="tomo", inv_shape=(inv, inv, inv),
+                    prior_sigma_u=0.2, sigma=0.01)
+    dcfg = DataCfg(dataset="checkerboard3d", n_src=n_src, n_rec=n_rec,
+                   noise=0.01, checker_cells=(3, 3, 3),
+                   checker_amplitude=0.1)
+    ecfg = EikonalCfg(method="sweep", tol=1e-3, max_iters=20, n_inner=4)
+    data, s_true = make_dataset(grid, dcfg, mcfg)
+    post = build_posterior(mcfg, data, grid, ecfg,
+                           differentiable=differentiable)
+    return post, s_true
+
+
+def run_chunked(kernel, adapter, states, hyper, key, n_warmup, n_steps,
+                thin, collect_fn, finalize_fn=None):
+    """Warmup + sampling through run_mcmc in ~TARGET_CHUNK_S device
+    executions; returns (states, samples, lp_trace, acc_trace, wall_s,
+    hyper). wall_s covers the SAMPLING phase only (steady state)."""
+    from mceik_tpu.samplers.base import run_mcmc
+
+    # Calibrate per-step cost with a tiny call (also compiles).
+    key, sub = jax.random.split(key)
+    t0 = time.perf_counter()
+    r = run_mcmc(kernel, adapter, states, hyper, sub, n_warmup=1, n_steps=1,
+                 t0_offset=0)
+    jax.block_until_ready(r.logpost_trace)
+    compile_and_two = time.perf_counter() - t0
+    states, hyper = r.states, r.hyper
+    key, sub = jax.random.split(key)
+    t0 = time.perf_counter()
+    r = run_mcmc(kernel, adapter, states, hyper, sub, n_warmup=1, n_steps=1,
+                 t0_offset=1)
+    jax.block_until_ready(r.logpost_trace)
+    per_step = max((time.perf_counter() - t0) / 2.0, 1e-3)
+    states, hyper = r.states, r.hyper
+    chunk = max(1, int(TARGET_CHUNK_S / per_step))
+    done = 2
+
+    while done < n_warmup:
+        c = min(chunk, n_warmup - done)
+        key, sub = jax.random.split(key)
+        r = run_mcmc(kernel, adapter, states, hyper, sub, n_warmup=c,
+                     n_steps=1, t0_offset=done)
+        jax.block_until_ready(r.logpost_trace)
+        states, hyper = r.states, r.hyper
+        done += c
+    if finalize_fn is not None:
+        hyper = finalize_fn(hyper)
+
+    samples, lps, accs = [], [], []
+    done = 0
+    wall = 0.0
+    while done < n_steps:
+        c = min(chunk, n_steps - done)
+        c = max(c - (c % thin), thin)
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        r = run_mcmc(kernel, None, states, hyper, sub, n_warmup=0,
+                     n_steps=c, thin=thin, collect_fn=collect_fn)
+        jax.block_until_ready(r.logpost_trace)
+        wall += time.perf_counter() - t0
+        states = r.states
+        samples.append(jax.device_get(r.samples))
+        lps.append(np.asarray(r.logpost_trace))
+        accs.append(np.asarray(r.accept_trace))
+        done += c
+    samples = np.concatenate(samples, axis=0)
+    return (states, samples, np.concatenate(lps, 0),
+            np.concatenate(accs, 0), wall, hyper, per_step, compile_and_two)
+
+
+def summarize(name, wall, n_steps, n_chains, u_draws, lp_trace, extra=None):
+    from mceik_tpu.diag.ess import ess, ess_per_param
+
+    lp = np.asarray(lp_trace)
+    ess_lp = ess(lp)
+    cell = ess_per_param(np.asarray(u_draws))
+    steps_s = n_steps * n_chains / wall
+    row = {
+        "sampler": name,
+        "chain_steps_per_s": round(steps_s, 3),
+        "ess_logpost_per_s": round(ess_lp / wall, 4),
+        "ess_cell_min_per_s": round(float(cell.min()) / wall, 4),
+        "ess_cell_med_per_s": round(float(np.median(cell)) / wall, 4),
+        "ess_logpost": round(ess_lp, 1),
+        "ess_cell_min": round(float(cell.min()), 1),
+        "ess_cell_med": round(float(np.median(cell)), 1),
+        "wall_s": round(wall, 1),
+        "n_chains": n_chains,
+        "n_steps": n_steps,
+    }
+    if extra:
+        row.update(extra)
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def run_am(post, n_chains=16, n_warmup=300, n_steps=600, thin=2):
+    from mceik_tpu.samplers import am
+    from mceik_tpu.samplers.base import init_chain_states
+
+    states = init_chain_states(post.logpost, post.init_params,
+                               jax.random.PRNGKey(0), n_chains)
+    example = post.init_params(jax.random.PRNGKey(1))
+    hyper = am.init_hyper(post.prior_scales, 0.05, example)
+    kernel = am.make_kernel(post.logpost)
+    adapter = am.make_adapter()
+
+    (_, samples, lp, acc, wall, _, _, _) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda p: p.u)
+    return summarize("am", wall, n_steps, n_chains, samples, lp,
+                     {"accept": round(float(np.mean(acc)), 3), "thin": thin})
+
+
+def run_grad(post, which="hmc", n_chains=16, n_warmup=80, n_steps=100,
+             thin=1, n_leapfrog=8, max_tree_depth=4, step_size0=0.01,
+             target_accept=0.8):
+    from mceik_tpu.samplers import hmc as hmc_mod
+    from mceik_tpu.samplers import nuts as nuts_mod
+    from mceik_tpu.samplers.base import init_chain_states
+
+    states = init_chain_states(post.logpost, post.init_params,
+                               jax.random.PRNGKey(0), n_chains)
+    example = post.init_params(jax.random.PRNGKey(1))
+    hyper = hmc_mod.init_hyper(post.prior_scales, step_size0, example)
+    if which == "hmc":
+        kernel = hmc_mod.make_kernel(post.logpost, n_leapfrog=n_leapfrog)
+        grads_per_step = n_leapfrog
+    else:
+        kernel = nuts_mod.make_kernel(post.logpost,
+                                      max_tree_depth=max_tree_depth)
+        grads_per_step = 2 ** max_tree_depth - 1
+    adapter = hmc_mod.make_adapter(target_accept=target_accept)
+
+    (_, samples, lp, acc, wall, hyper, per_step, _) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda p: p.u,
+        finalize_fn=hmc_mod.finalize)
+
+    eps = float(np.exp(np.asarray(hyper.da.log_eps)))
+    extra = {"accept": round(float(np.mean(acc)), 3),
+             "step_size": round(eps, 5), "grads_per_step": grads_per_step,
+             "step_wall_s": round(per_step, 2)}
+    if which == "hmc":
+        extra["n_leapfrog"] = n_leapfrog
+    else:
+        extra["max_tree_depth"] = max_tree_depth
+    return summarize(which, wall, n_steps, n_chains, samples, lp, extra)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samplers", default="am,hmc,nuts")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--n-chains", type=int, default=16)
+    ap.add_argument("--n-leapfrog", type=int, default=8)
+    ap.add_argument("--max-tree-depth", type=int, default=4)
+    args = ap.parse_args()
+    q = args.quick
+
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "workload": "checkerboard3d 64^3, 8 src, 12 rec, "
+                                  "inv 12^3, tol 1e-3"}), flush=True)
+    names = args.samplers.split(",")
+    if "am" in names:
+        post, _ = build(differentiable=False)
+        run_am(post, n_chains=args.n_chains,
+               n_warmup=(50 if q else 300), n_steps=(60 if q else 600),
+               thin=2)
+    if "hmc" in names or "nuts" in names:
+        post_g, _ = build(differentiable=True)
+        if "hmc" in names:
+            run_grad(post_g, "hmc", n_chains=args.n_chains,
+                     n_warmup=(10 if q else 80),
+                     n_steps=(10 if q else 100),
+                     n_leapfrog=args.n_leapfrog)
+        if "nuts" in names:
+            run_grad(post_g, "nuts", n_chains=args.n_chains,
+                     n_warmup=(6 if q else 50),
+                     n_steps=(8 if q else 60),
+                     max_tree_depth=args.max_tree_depth)
+
+
+if __name__ == "__main__":
+    main()
