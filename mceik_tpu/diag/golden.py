@@ -43,11 +43,20 @@ PROBLEMS = {
         "grid": {"shape": [12, 12, 12], "spacing": [1.0, 1.0, 1.0]},
         "eikonal": {"method": "sweep", "tol": 1e-3, "max_iters": 30,
                     "use_pallas": "off"},
+        # inv 3^3: small enough that full-cov AM reaches per-cell ESS in
+        # the hundreds on the golden run (the moment z-test needs mixing,
+        # not recovery; a 3^3 basis cannot represent the 2-lobe
+        # checkerboard, so truth recovery is asserted separately by
+        # tests/test_recovery3d.py at inv 5^3 through the MAP path).
         "model": {"mode": "tomo", "inv_shape": [3, 3, 3],
                   "background_slowness": 1.0, "prior_sigma_u": 0.15,
                   "sigma": 0.05},
-        "data": {"dataset": "checkerboard3d", "n_src": 3, "n_rec": 4,
-                 "noise": 0.05, "seed": 78, "checker_cells": [2, 2, 2],
+        # Volume acquisition (interior shots, multi-face receivers): the
+        # face-to-face borehole geometry cannot recover structure stacked
+        # along x (all rays near-parallel), so the recovery criterion
+        # needs crossing coverage — see datasets/synthetic.py.
+        "data": {"dataset": "checkerboard3d_volume", "n_src": 5, "n_rec": 6,
+                 "noise": 0.03, "seed": 78, "checker_cells": [2, 2, 2],
                  "checker_amplitude": 0.08},
     },
 }
@@ -56,7 +65,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "tests", "golden")
 
 
-def _build(name):
+def _build(name, return_truth: bool = False):
     from mceik_tpu.config import DataCfg, EikonalCfg, ModelCfg
     from mceik_tpu.datasets import make_dataset
     from mceik_tpu.grid import Grid
@@ -70,8 +79,34 @@ def _build(name):
     dcfg = DataCfg(**{k: (tuple(v) if isinstance(v, list) else v)
                       for k, v in spec["data"].items()})
     ecfg = EikonalCfg(**spec["eikonal"])
-    data, _ = make_dataset(grid, dcfg, mcfg)
-    return build_posterior(mcfg, data, grid, ecfg)
+    data, truth = make_dataset(grid, dcfg, mcfg)
+    post = build_posterior(mcfg, data, grid, ecfg)
+    if return_truth:
+        return post, truth["slowness"]
+    return post
+
+
+def recovery_corr(name: str, mean_u_flat) -> float:
+    """Correlation of the posterior-mean slowness field with the truth —
+    the checkerboard-recovery integration criterion (SURVEY.md §4
+    "Integration"), computed from a check run's mean over u."""
+    from mceik_tpu.model.params import slowness_from_u
+
+    post, s_true = _build(name, return_truth=True)
+    inv_shape = tuple(PROBLEMS[name]["model"]["inv_shape"])
+    u_mean = jnp_asarray(mean_u_flat).reshape(inv_shape)
+    s_mean = np.asarray(slowness_from_u(
+        u_mean, post.grid, PROBLEMS[name]["model"]["background_slowness"]))
+    s_true = np.asarray(s_true)
+    a = s_mean - s_mean.mean()
+    b = s_true - s_true.mean()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    return float((a * b).sum() / denom) if denom > 0 else 0.0
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(x, np.float32))
 
 
 def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
@@ -105,17 +140,16 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
     # exceeds any CI budget (measured tau > 2000 steps on c2_small).
     hyper = am_full.init_hyper(post.prior_scales, 0.3, example)
     kernel = am_full.make_kernel(post.logpost)
+    adapter = am_full.make_adapter()
     if proposal is not None:
         cov = np.asarray(proposal["cov"], np.float32)
-        d = cov.shape[0]
-        n_prime = 1e6  # trust the stored covariance outright
+        n_prime = 1e6  # pin the stored covariance (warmup adaptation can
+        # then only retune the global step scale — the Welford update's
+        # relative weight is ~steps/n_prime)
         hyper = hyper.replace(
             log_step=np.float32(proposal["log_step"]),
             count=np.float32(n_prime),
             m2=(n_prime - 1.0) * cov)
-        adapter = None
-    else:
-        adapter = am_full.make_adapter()
 
     r = run_mcmc(kernel, adapter, states, hyper,
                  jax.random.PRNGKey(seed + 2), n_warmup=n_warmup,
@@ -132,21 +166,32 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
         "cov": np.asarray(h.m2 / max(float(h.count) - 1.0, 1.0)),
         "log_step": float(h.log_step),
     }
+    # Sample covariance of the draws themselves: the ideal next-round
+    # proposal covariance (bootstrap priming for make_golden).
+    X = flat.reshape(-1, flat.shape[-1]).astype(np.float64)
+    post_cov = np.cov(X.T) + 1e-8 * np.eye(X.shape[1])
     return {"mean": mean, "var": var, "se": se, "ess": ess,
             "accept": float(np.mean(np.asarray(r.accept_trace))),
-            "proposal": final_proposal}
+            "proposal": final_proposal, "post_cov": post_cov}
 
 
 def make_golden(name: str, seed: int = 1000, n_warmup: int = 2000,
                 n_steps: int = 24000, thin: int = 4, out_dir: str = None):
     """Generate and write the committed golden artifact for ``name``.
 
-    Two-stage: an adaptive run tunes the full proposal covariance, then
-    the long moment run uses it fixed (so the stored proposal is exactly
-    the one that produced the moments, and the CI check reuses it)."""
+    Bootstrapped proposal tuning: an adaptive round estimates the full
+    proposal covariance from scratch; intermediate rounds re-estimate it
+    from their own (better-mixed) sample covariance — at ~100+ dims the
+    from-scratch Haario estimate is still far from the posterior
+    covariance and mixing stays poor without this. The final long round
+    uses the settled proposal, which is stored in the artifact so the CI
+    check reuses exactly the proposal that produced the golden moments."""
     warm = run_problem(name, seed, n_warmup, max(n_steps // 8, 500), thin=2)
-    stats = run_problem(name, seed + 500, 500, n_steps, thin,
-                        proposal=warm["proposal"])
+    prop = {"cov": warm["post_cov"], "log_step": 0.0}
+    boot = run_problem(name, seed + 250, 400, max(n_steps // 4, 1000),
+                       thin=2, proposal=prop)
+    prop = {"cov": boot["post_cov"], "log_step": 0.0}
+    stats = run_problem(name, seed + 500, 500, n_steps, thin, proposal=prop)
     artifact = {
         "problem": name,
         "spec": PROBLEMS[name],
@@ -158,8 +203,8 @@ def make_golden(name: str, seed: int = 1000, n_warmup: int = 2000,
         "ess": [round(float(e), 1) for e in stats["ess"]],
         "accept": round(stats["accept"], 4),
         "proposal": {
-            "cov": np.asarray(warm["proposal"]["cov"]).tolist(),
-            "log_step": warm["proposal"]["log_step"],
+            "cov": np.asarray(prop["cov"]).tolist(),
+            "log_step": float(stats["proposal"]["log_step"]),
         },
     }
     out_dir = out_dir or GOLDEN_DIR

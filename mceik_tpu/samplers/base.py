@@ -61,7 +61,7 @@ def _one_step(kernel, states, hyper, key):
 
 @partial(jax.jit, static_argnames=("kernel", "adapt_fn", "n_warmup", "n_steps",
                                    "thin", "track_fn", "finalize_fn",
-                                   "collect_fn", "t0_offset"))
+                                   "collect_fn"))
 def run_mcmc(
     kernel: Callable,
     adapt_fn: Optional[Callable],
@@ -75,7 +75,9 @@ def run_mcmc(
     finalize_fn: Optional[Callable] = None,
     collect_fn: Optional[Callable] = None,
     init_welford: Optional[Welford] = None,
-    t0_offset: int = 0,
+    t0_offset=0,  # TRACED (dynamic): a static offset would recompile the
+                  # whole program once per warmup chunk when runs are
+                  # chunked into short device executions.
 ) -> MCMCResult:
     """Run warmup (with adaptation) then sampling (with collection).
 
@@ -110,7 +112,7 @@ def run_mcmc(
     key, kw = jax.random.split(key)
     (states, hyper, _), warmup_accept = lax.scan(
         warmup_step, (init_states, init_hyper, kw),
-        jnp.arange(t0_offset, t0_offset + n_warmup))
+        jnp.arange(n_warmup) + jnp.asarray(t0_offset, jnp.int32))
     if finalize_fn is not None:
         hyper = finalize_fn(hyper)
 

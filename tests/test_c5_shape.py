@@ -1,0 +1,41 @@
+"""Config-5 shape coverage (VERDICT r1 weak #9): the pod workload —
+1024 NUTS chains, joint slowness+hypocenters, spike-slab noise — must
+compile and execute THROUGH THE PRODUCTION ENTRY POINT with chains
+sharded over the (virtual 8-device) mesh, at a reduced grid.
+
+Also covers the single-process fallback for dist.multihost=true (the c5
+config as written: outside a cluster launcher jax.distributed.initialize
+fails and api.run must continue single-process)."""
+
+import numpy as np
+
+from mceik_tpu.api import run
+from mceik_tpu.io.config_io import apply_overrides, load_config
+
+import jax
+
+
+def test_c5_reduced_1024_chain_nuts():
+    cfg = load_config("configs/c5_pod_nuts.json")
+    assert cfg.dist.multihost  # the real config requests multi-host
+    cfg = apply_overrides(cfg, [
+        "grid.shape=[10,9,8]", "model.inv_shape=[3,3,3]",
+        "eikonal.method=jacobi", "eikonal.max_iters=60", "eikonal.tol=1e-3",
+        "data.n_events=3", "data.n_stations=4",
+        "sampler.n_chains=1024", "sampler.n_warmup=0",
+        "sampler.n_samples=2", "sampler.thin=1",
+        "sampler.max_tree_depth=2", "io.log_every=2",
+    ])
+    summary = run(cfg, verbose=False)
+
+    lp = np.asarray(summary.result.states.logpost)
+    assert lp.shape == (1024,)
+    assert np.all(np.isfinite(lp))
+    assert 0.0 < summary.accept_rate <= 1.0
+    # Chains must actually be sharded over every virtual device.
+    sharding = summary.result.states.logpost.sharding
+    assert len(sharding.device_set) == len(jax.devices())
+    # Spike-slab indicators exist and stayed binary through NUTS+Gibbs.
+    z = np.asarray(summary.result.states.params.noise_z)
+    assert z.shape == (1024, 4)
+    assert np.all((z == 0.0) | (z == 1.0))

@@ -12,7 +12,8 @@ by more than MC error and fails.
 import numpy as np
 import pytest
 
-from mceik_tpu.diag.golden import PROBLEMS, load_golden, z_scores
+from mceik_tpu.diag.golden import (PROBLEMS, load_golden, recovery_corr,
+                                   z_scores)
 
 CHECK_BUDGET = {
     # name: (seed, n_warmup, n_steps)
@@ -39,3 +40,11 @@ def test_golden_moments(name):
     # stuck sampler making the z-test vacuous through huge se).
     assert stats["accept"] > 0.05, stats["accept"]
     assert float(np.median(stats["ess"])) > 20.0, stats["ess"]
+    # Checkerboard-recovery integration criterion (SURVEY.md §4) where the
+    # inversion basis can represent the truth (c1_small). c2_small's 3^3
+    # basis cannot represent the 2-lobe checkerboard by construction —
+    # its 3-D recovery criterion lives in tests/test_recovery3d.py.
+    RECOVERY_MIN = {"c1_small": 0.5, "c2_small": None}
+    if RECOVERY_MIN[name] is not None:
+        corr = recovery_corr(name, stats["mean"])
+        assert corr > RECOVERY_MIN[name], f"{name}: recovery_corr={corr:.3f}"

@@ -76,39 +76,48 @@ def run_chunked(kernel, adapter, states, hyper, key, n_warmup, n_steps,
     per_step = max((time.perf_counter() - t0) / 2.0, 1e-3)
     states, hyper = r.states, r.hyper
     chunk = max(1, int(TARGET_CHUNK_S / per_step))
-    done = 2
 
-    while done < n_warmup:
-        c = min(chunk, n_warmup - done)
-        key, sub = jax.random.split(key)
-        r = run_mcmc(kernel, adapter, states, hyper, sub, n_warmup=c,
-                     n_steps=1, t0_offset=done)
-        jax.block_until_ready(r.logpost_trace)
-        states, hyper = r.states, r.hyper
-        done += c
+    # UNIFORM chunk sizes (overshooting the requested totals slightly):
+    # n_warmup/n_steps are static jit args, so every distinct chunk length
+    # compiles a fresh executable (t0_offset is traced and free). One
+    # uniform size per phase -> exactly one compile per phase.
+    def uniform_chunk(total, c0):
+        n_chunks = max(1, -(-total // max(c0, 1)))
+        return -(-total // n_chunks), n_chunks
+
+    rem_warm = max(n_warmup - 2, 0)
+    if rem_warm:
+        wchunk, n_wchunks = uniform_chunk(rem_warm, chunk)
+        for i in range(n_wchunks):
+            key, sub = jax.random.split(key)
+            r = run_mcmc(kernel, adapter, states, hyper, sub,
+                         n_warmup=wchunk, n_steps=1,
+                         t0_offset=2 + i * wchunk)
+            jax.block_until_ready(r.logpost_trace)
+            states, hyper = r.states, r.hyper
     if finalize_fn is not None:
         hyper = finalize_fn(hyper)
 
+    schunk, n_schunks = uniform_chunk(
+        n_steps, max(chunk - (chunk % thin), thin))
+    schunk += (-schunk) % thin
+    n_steps = schunk * n_schunks
     samples, lps, accs = [], [], []
-    done = 0
     wall = 0.0
-    while done < n_steps:
-        c = min(chunk, n_steps - done)
-        c = max(c - (c % thin), thin)
+    for _ in range(n_schunks):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         r = run_mcmc(kernel, None, states, hyper, sub, n_warmup=0,
-                     n_steps=c, thin=thin, collect_fn=collect_fn)
+                     n_steps=schunk, thin=thin, collect_fn=collect_fn)
         jax.block_until_ready(r.logpost_trace)
         wall += time.perf_counter() - t0
         states = r.states
         samples.append(jax.device_get(r.samples))
         lps.append(np.asarray(r.logpost_trace))
         accs.append(np.asarray(r.accept_trace))
-        done += c
     samples = np.concatenate(samples, axis=0)
     return (states, samples, np.concatenate(lps, 0),
-            np.concatenate(accs, 0), wall, hyper, per_step, compile_and_two)
+            np.concatenate(accs, 0), wall, hyper, per_step, n_steps)
 
 
 def summarize(name, wall, n_steps, n_chains, u_draws, lp_trace, extra=None):
@@ -148,16 +157,42 @@ def run_am(post, n_chains=16, n_warmup=300, n_steps=600, thin=2):
     kernel = am.make_kernel(post.logpost)
     adapter = am.make_adapter()
 
-    (_, samples, lp, acc, wall, _, _, _) = run_chunked(
+    (_, samples, lp, acc, wall, _, _, n_steps) = run_chunked(
         kernel, adapter, states, hyper, jax.random.PRNGKey(2),
         n_warmup, n_steps, thin, lambda p: p.u)
     return summarize("am", wall, n_steps, n_chains, samples, lp,
                      {"accept": round(float(np.mean(acc)), 3), "thin": thin})
 
 
+def prime_mass(post_cheap, n_chains=16, n_steps=300):
+    """Posterior marginal variances from a short AM run (cheap forward-only
+    solves) — a far better mass matrix than anything HMC/NUTS can estimate
+    in its own warmup budget, whose barely-moving early chains
+    under-estimate the soft directions (measured: cell ESS pinned at the
+    estimator floor with self-estimated mass at L=8..15)."""
+    from mceik_tpu.samplers import am
+    from mceik_tpu.samplers.base import init_chain_states
+
+    states = init_chain_states(post_cheap.logpost, post_cheap.init_params,
+                               jax.random.PRNGKey(10), n_chains)
+    example = post_cheap.init_params(jax.random.PRNGKey(11))
+    hyper = am.init_hyper(post_cheap.prior_scales, 0.05, example)
+    kernel = am.make_kernel(post_cheap.logpost)
+    adapter = am.make_adapter()
+    (_, _, _, _, _, hyper, _, _) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(12),
+        n_steps, 2, 2, lambda p: p.u)
+    w = hyper.welford
+    n = np.maximum(np.asarray(w.count, np.float64), 2.0)
+    var = jax.tree.map(lambda m2, s: jnp.maximum(
+        jnp.asarray(m2) / (n - 1.0), 1e-8 * s * s).astype(jnp.float32)
+        if s is not None else None, w.m2, post_cheap.prior_scales)
+    return var, w
+
+
 def run_grad(post, which="hmc", n_chains=16, n_warmup=80, n_steps=100,
              thin=1, n_leapfrog=8, max_tree_depth=4, step_size0=0.01,
-             target_accept=0.8):
+             target_accept=0.8, mass=None):
     from mceik_tpu.samplers import hmc as hmc_mod
     from mceik_tpu.samplers import nuts as nuts_mod
     from mceik_tpu.samplers.base import init_chain_states
@@ -166,6 +201,9 @@ def run_grad(post, which="hmc", n_chains=16, n_warmup=80, n_steps=100,
                                jax.random.PRNGKey(0), n_chains)
     example = post.init_params(jax.random.PRNGKey(1))
     hyper = hmc_mod.init_hyper(post.prior_scales, step_size0, example)
+    if mass is not None:
+        var, welford = mass
+        hyper = hyper.replace(inv_mass=var, welford=welford)
     if which == "hmc":
         kernel = hmc_mod.make_kernel(post.logpost, n_leapfrog=n_leapfrog)
         grads_per_step = n_leapfrog
@@ -175,7 +213,7 @@ def run_grad(post, which="hmc", n_chains=16, n_warmup=80, n_steps=100,
         grads_per_step = 2 ** max_tree_depth - 1
     adapter = hmc_mod.make_adapter(target_accept=target_accept)
 
-    (_, samples, lp, acc, wall, hyper, per_step, _) = run_chunked(
+    (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
         kernel, adapter, states, hyper, jax.random.PRNGKey(2),
         n_warmup, n_steps, thin, lambda p: p.u,
         finalize_fn=hmc_mod.finalize)
@@ -211,17 +249,20 @@ def main():
                n_warmup=(50 if q else 300), n_steps=(60 if q else 600),
                thin=2)
     if "hmc" in names or "nuts" in names:
+        post_cheap, _ = build(differentiable=False)
+        mass = prime_mass(post_cheap, n_chains=args.n_chains,
+                          n_steps=(40 if q else 300))
         post_g, _ = build(differentiable=True)
         if "hmc" in names:
             run_grad(post_g, "hmc", n_chains=args.n_chains,
-                     n_warmup=(10 if q else 80),
-                     n_steps=(10 if q else 100),
-                     n_leapfrog=args.n_leapfrog)
+                     n_warmup=(8 if q else 30),
+                     n_steps=(10 if q else 80),
+                     n_leapfrog=args.n_leapfrog, mass=mass)
         if "nuts" in names:
             run_grad(post_g, "nuts", n_chains=args.n_chains,
-                     n_warmup=(6 if q else 50),
-                     n_steps=(8 if q else 60),
-                     max_tree_depth=args.max_tree_depth)
+                     n_warmup=(6 if q else 24),
+                     n_steps=(8 if q else 40),
+                     max_tree_depth=args.max_tree_depth, mass=mass)
 
 
 if __name__ == "__main__":
