@@ -7,8 +7,11 @@ rule COLLAPSES any outer ``vmap`` axis (chains, events, ...) into the flat
 batch, so a sampler's ``vmap_chains(vmap_stations(solve))`` reaches the
 backend as ONE rank-1 batch. This matters twice:
 
-1. Throughput — the streaming Pallas kernel wants the whole chains x
-   stations batch in its lane dimension (pallas_stream.py).
+1. Throughput — the lane-packed field kernels want the whole chains x
+   stations batch at once to fill the 128-wide vector lanes
+   (pallas_sweep.py; a streaming lane-batched variant was tried and
+   removed 2026-08-19 — it exceeded the 16 MB scoped-VMEM limit at the
+   flagship 64^3 shape, see BASELINE.md).
 2. Correctness — the axon/XLA:TPU backend MISCOMPILES doubly-vmapped
    ``lax.scan``-based sweeps (verified: vmap^2 of the sweep solver returns
    a self-consistent but wrong fixed point on TPU, max err ~33 on a 64^3
@@ -24,7 +27,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from mceik_tpu.eikonal.pallas_stream import sweep_solve_pallas_batched
 from mceik_tpu.eikonal.solve import (EikonalConfig, _sweep_solve, _jacobi_solve,
                                      seed_source)
 from mceik_tpu.grid import Grid
@@ -75,10 +77,6 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
         T0, frozen = jax.vmap(
             lambda x, sf: seed_source(sf, x, grid, config.seed_radius)
         )(srcs, s)
-        if impl == "stream":
-            return sweep_solve_pallas_batched(
-                T0, frozen, s, grid.spacing, config.tol, config.max_iters,
-                config.n_inner, interpret=interpret)
         if impl == "field":
             # Whole-field-in-VMEM kernel, sequenced with lax.map rather
             # than vmap: vmapping a pallas_call adds batch grid dims whose
@@ -159,14 +157,15 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
 
 def solve_eikonal_batched(slowness, srcs, grid: Grid,
                           config: EikonalConfig = EikonalConfig(),
-                          impl: str = "stream",
+                          impl: str = "field",
                           interpret: bool = False):
     """Solve from ``(B, D)`` source coords; ``slowness`` is grid-shaped
     (shared) or ``(B,) + grid.shape`` (per-source). Returns
     ``(B,) + grid.shape`` traveltime fields.
 
-    impl: "stream" (lane-batched Pallas kernel) or "xla" (rank-1 vmapped
-    XLA sweep — also the safe TPU fallback, see module docstring).
+    impl: "field" (whole-field-in-VMEM lane-packed Pallas kernels),
+    "blocked" (axis-0 block GS for 128^3-class fields), or "xla" (rank-1
+    vmapped XLA sweep — also the safe TPU fallback, see module docstring).
     """
     slowness = jnp.asarray(slowness, jnp.float32)
     B = srcs.shape[0]

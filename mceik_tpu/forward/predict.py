@@ -55,7 +55,7 @@ def traveltime_tables(
     # custom_vmap boundary (eikonal/batched.py): outer vmaps (chains,
     # events) merge into one rank-1 batch — required for TPU correctness
     # (the backend miscompiles doubly-vmapped scan sweeps) and for the
-    # streaming kernel's lane batching.
+    # field kernels' lane packing.
     from mceik_tpu.eikonal.batched import solve_eikonal_batched
 
     pallas = config.use_pallas

@@ -25,7 +25,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Repo root on sys.path (NOT via PYTHONPATH — an external PYTHONPATH entry
+# breaks the axon PJRT plugin's discovery in this environment).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
