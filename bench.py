@@ -41,6 +41,7 @@ def main():
     from mceik_tpu.config import DataCfg, EikonalCfg, ModelCfg
     from mceik_tpu.datasets import make_dataset
     from mceik_tpu.diag.ess import ess, ess_per_param
+    from mceik_tpu.diag.moments import welford_merge_chains
     from mceik_tpu.grid import Grid
     from mceik_tpu.model.posterior import build_posterior
     from mceik_tpu.samplers import am, hmc, nuts
@@ -88,8 +89,12 @@ def main():
     # --- NUTS: AM-primed diag mass, short steady-state window ------------
     # (gradient path: implicit-adjoint swept transport; BASELINE.md r2.)
     post_g = build_posterior(mcfg, data, grid, ecfg, differentiable=True)
-    w = r.welford
-    cnt = np.maximum(np.asarray(w.count, np.float64), 2.0)
+    # run_mcmc's welford is PER-CHAIN (count (C,), m2 leaves (C, ...)); the
+    # NUTS mass priming needs the POOLED accumulator (scalar count) — both
+    # for the variance broadcast here and because hmc's warmup adapter
+    # merges chain batches into it (VERDICT r2 missing #1).
+    w = welford_merge_chains(r.welford)
+    cnt = np.maximum(float(w.count), 2.0)
     var = jax.tree.map(
         lambda m2, s: (jax.numpy.maximum(
             jax.numpy.asarray(m2) / (cnt - 1.0), 1e-8 * s * s)
