@@ -47,7 +47,16 @@ def init_hyper(scales: Any, step_size: float, example_params: Any,
 
 def _proposal_std(hyper: AMHyper):
     """Blend adapted per-coordinate std with prior scales until the
-    accumulator has enough mass (Haario's initial phase)."""
+    accumulator has enough mass (Haario's initial phase).
+
+    The adapted std is NORMALIZED to the prior scales' geometric mean over
+    active coordinates: the welford only reshapes the proposal, while the
+    global magnitude is owned entirely by ``log_step``. Without this the
+    Robbins-Monro step tuner chases a moving target (the accumulating
+    variance estimate keeps rescaling the proposal under it) and longer
+    warmups END UP at *worse* acceptance — measured 0.084 after 300 warmup
+    steps at inv=12^3 vs 0.4 after 50 (BASELINE.md 2026-08-19 r2 caveat;
+    VERDICT r2 #5)."""
     n = hyper.welford.count
     ready = n > 50.0
 
@@ -57,9 +66,26 @@ def _proposal_std(hyper: AMHyper):
         # scale == 0 marks frozen coordinates (spike-slab indicators moved
         # only by Gibbs): adaptation must never thaw them even though the
         # Gibbs flips give them cross-chain variance.
-        return jnp.where(scale > 0, jnp.where(ready, adapted, scale), 0.0)
+        return jnp.where(scale > 0, adapted, 0.0)
 
-    return jax.tree.map(std_leaf, hyper.welford.m2, hyper.scales)
+    raw = jax.tree.map(std_leaf, hyper.welford.m2, hyper.scales)
+
+    # log geometric-mean correction over ALL active coords of the pytree.
+    def logsum_leaf(st, sc):
+        active = sc > 0
+        return (jnp.sum(jnp.where(active, jnp.log(jnp.maximum(st, 1e-30))
+                                  - jnp.log(jnp.where(active, sc, 1.0)), 0.0)),
+                jnp.sum(active.astype(jnp.float32)))
+
+    parts = [logsum_leaf(st, sc) for st, sc in
+             zip(jax.tree.leaves(raw), jax.tree.leaves(hyper.scales))]
+    tot = sum(p[0] for p in parts)
+    cnt = sum(p[1] for p in parts)
+    c = jnp.exp(-tot / jnp.maximum(cnt, 1.0))
+
+    return jax.tree.map(
+        lambda st, sc: jnp.where(sc > 0, jnp.where(ready, c * st, sc), 0.0),
+        raw, hyper.scales)
 
 
 def make_kernel(logpost_fn: Callable) -> Callable:
@@ -85,7 +111,16 @@ def make_kernel(logpost_fn: Callable) -> Callable:
 
 
 def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
-                 t0: float = 3.0, kappa: float = 0.5) -> Callable:
+                 t0: float = 3.0, kappa: float = 0.5,
+                 mem_samples: float = 2000.0) -> Callable:
+    """Warmup adapter. ``mem_samples`` caps the Welford's effective count
+    (exponential forgetting): without it the variance estimate keeps the
+    init/burn-in transient forever, inflating the proposal shape no matter
+    how long warmup runs (the other half of the r2 overshoot — see
+    _proposal_std). ~2000 chain-positions is ≈125 steps of memory at 16
+    chains: long enough for a stable shape, short enough to flush the
+    transient within a few hundred warmup steps."""
+
     def adapt(hyper: AMHyper, pooled, states: MHState, t):
         g = gamma0 / (t0 + t) ** kappa
         log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)
@@ -93,6 +128,10 @@ def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
         # estimate (batch Welford merge; cross-device this is the psum'd
         # adaptation statistic of SURVEY.md §2.4).
         welford = welford_update_batch(hyper.welford, states.params, axis=0)
+        f = jnp.minimum(1.0, mem_samples / jnp.maximum(welford.count, 1.0))
+        welford = welford.replace(
+            count=welford.count * f,
+            m2=jax.tree.map(lambda m: m * f, welford.m2))
         return hyper.replace(log_step=log_step, welford=welford)
 
     return adapt

@@ -8,12 +8,16 @@ config as written: outside a cluster launcher jax.distributed.initialize
 fails and api.run must continue single-process)."""
 
 import numpy as np
+import pytest
 
 from mceik_tpu.api import run
 from mceik_tpu.io.config_io import apply_overrides, load_config
 
 import jax
 
+
+
+pytestmark = pytest.mark.slow
 
 def test_c5_reduced_1024_chain_nuts():
     cfg = load_config("configs/c5_pod_nuts.json")

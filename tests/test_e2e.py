@@ -4,6 +4,7 @@ must recover the checkerboard (correlation threshold), seeded and
 deterministic."""
 
 import numpy as np
+import pytest
 
 from mceik_tpu.api import run
 from mceik_tpu.io.config_io import config_from_dict
@@ -22,6 +23,7 @@ SMALL_C1 = {
 }
 
 
+@pytest.mark.slow
 def test_crosswell_recovery():
     cfg = config_from_dict(SMALL_C1)
     summary = run(cfg, verbose=True)

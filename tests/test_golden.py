@@ -15,6 +15,9 @@ import pytest
 from mceik_tpu.diag.golden import (PROBLEMS, load_golden, recovery_corr,
                                    z_scores)
 
+
+pytestmark = pytest.mark.slow
+
 CHECK_BUDGET = {
     # name: (seed, n_warmup, n_steps)
     "c1_small": (31, 300, 2500),

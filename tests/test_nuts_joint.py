@@ -4,6 +4,7 @@ end (SURVEY.md §3.3)."""
 
 import jax
 import numpy as np
+import pytest
 
 from mceik_tpu.config import DataCfg, EikonalCfg, ModelCfg
 from mceik_tpu.datasets import make_dataset
@@ -13,6 +14,7 @@ from mceik_tpu.samplers import hmc, nuts
 from mceik_tpu.samplers.base import init_chain_states, run_mcmc
 
 
+@pytest.mark.slow
 def test_nuts_joint_smoke():
     grid = Grid(shape=(13, 13, 9), spacing=(1.0, 1.0, 1.0))
     mcfg = ModelCfg(mode="joint", inv_shape=(3, 3, 2), prior_sigma_u=0.1,

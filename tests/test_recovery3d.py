@@ -13,12 +13,16 @@ The posterior-MOMENT criteria live in test_golden.py / test_statistical.py.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mceik_tpu.config import DataCfg, EikonalCfg, ModelCfg
 from mceik_tpu.datasets import make_dataset
 from mceik_tpu.grid import Grid
 from mceik_tpu.model.params import Params, slowness_from_u
 from mceik_tpu.model.posterior import build_posterior
+
+
+pytestmark = pytest.mark.slow
 
 GRID = Grid(shape=(14, 14, 14), spacing=(1.0, 1.0, 1.0))
 MCFG = ModelCfg(mode="tomo", inv_shape=(5, 5, 5), prior_sigma_u=0.15,

@@ -27,6 +27,9 @@ from mceik_tpu.diag.moments import welford_finalize, welford_merge_chains
 # Noise chosen so the posterior is broad enough that ALL samplers mix well
 # within test budgets — the test targets cross-method bias, not mixing
 # endurance (that's what the e2e recovery tests stress).
+
+pytestmark = pytest.mark.slow
+
 GRID = Grid(shape=(17, 17), spacing=(1.0, 1.0))
 MCFG = ModelCfg(mode="tomo", inv_shape=(4, 4), prior_sigma_u=0.15,
                 sigma=0.05)
