@@ -58,16 +58,21 @@ class RunSummary:
 
 
 def _dispatch_sampler(scfg, posterior):
-    """Returns (kernel, adapter, hyper, finalize_fn, state_logpost_fn)."""
+    """Returns (kernel, adapter, hyper, finalize_fn, state_logpost_fn,
+    make_states) — make_states is None for plain-MHState samplers, else a
+    ``(key, n_chains) -> states`` builder (MALA carries cached gradients
+    and, when Laplace-preconditioned, initializes chains overdispersed
+    around the MAP)."""
     scales = posterior.prior_scales
     example = posterior.init_params(jax.random.PRNGKey(0))
     lp = posterior.logpost
     if scfg.algorithm == "rwm":
         return (rwm.make_kernel(lp), rwm.make_adapter(scfg.target_accept),
-                rwm.init_hyper(scales, scfg.step_size), None, lp)
+                rwm.init_hyper(scales, scfg.step_size), None, lp, None)
     if scfg.algorithm == "am":
         return (am.make_kernel(lp), am.make_adapter(scfg.target_accept),
-                am.init_hyper(scales, scfg.step_size, example), None, lp)
+                am.init_hyper(scales, scfg.step_size, example), None, lp,
+                None)
     if scfg.algorithm == "am_full":
         # Classic full-covariance Haario AM — for small/medium parameter
         # counts (strongly correlated posteriors where the diagonal
@@ -76,7 +81,8 @@ def _dispatch_sampler(scfg, posterior):
         from mceik_tpu.samplers import am_full
         return (am_full.make_kernel(lp),
                 am_full.make_adapter(scfg.target_accept),
-                am_full.init_hyper(scales, scfg.step_size, example), None, lp)
+                am_full.init_hyper(scales, scfg.step_size, example), None, lp,
+                None)
     if scfg.algorithm == "pcn":
         from mceik_tpu.model.params import Params, box_logjac
         from mceik_tpu.samplers import pcn
@@ -94,20 +100,59 @@ def _dispatch_sampler(scfg, posterior):
         return (pcn.make_kernel(posterior.log_lik, nongauss),
                 pcn.make_adapter(scfg.target_accept),
                 pcn.init_hyper(gauss_scales, rw_scales, scfg.step_size),
-                None, state_lp)
+                None, state_lp, None)
     if scfg.algorithm == "hmc":
         target = max(scfg.target_accept, 0.7)
         return (hmc.make_kernel(lp, scfg.n_leapfrog),
                 hmc.make_adapter(target),
                 hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
-                lp)
+                lp, None)
     if scfg.algorithm == "nuts":
         from mceik_tpu.samplers import nuts
         target = max(scfg.target_accept, 0.8)
         return (nuts.make_kernel(lp, scfg.max_tree_depth),
                 hmc.make_adapter(target),
                 hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
-                lp)
+                lp, None)
+    if scfg.algorithm == "mala":
+        # Preconditioned Metropolis-adjusted Langevin: one gradient/step
+        # through the implicit adjoint, full-covariance proposal. With
+        # precondition="laplace" the MAP + Gauss-Newton covariance is
+        # computed once at startup (model/laplace.py) and pinned — the
+        # near-ideal proposal for the near-Gaussian tomography posterior
+        # (VERDICT r2 #2); chains initialize overdispersed around the MAP.
+        from mceik_tpu.samplers import mala as mala_mod
+        target = max(scfg.target_accept, 0.574)
+        hyper = mala_mod.init_hyper(scales, scfg.step_size, example)
+        adapt_cov = True
+        make_states = lambda key, n: mala_mod.init_states(
+            lp, posterior.init_params, key, n)
+        if scfg.precondition == "laplace":
+            from mceik_tpu.model.laplace import laplace_preconditioner
+            p_map, cov, _ = laplace_preconditioner(
+                posterior, n_map_steps=scfg.n_map_steps)
+            hyper = mala_mod.prime_covariance(hyper, cov)
+            adapt_cov = False
+            x_map = mala_mod._ravel(p_map)
+            active = (mala_mod._ravel(scales) > 0).astype(jnp.float32)
+            L_init = jnp.linalg.cholesky(cov).astype(jnp.float32)
+            unravel = mala_mod._unravel_fn(p_map)
+
+            def init_one(key):
+                # Chains start as draws FROM the Laplace approximation
+                # (the posterior's typical set when C is accurate) —
+                # inflating beyond 1x throws 1e3+-dim chains into the
+                # nonlinear blowup region of a tight likelihood, which no
+                # short warmup recovers from (measured: 2x inflation at
+                # 64^3/inv-12^3 left chains stuck at logpost -2e7).
+                eps = active * jax.random.normal(key, x_map.shape, jnp.float32)
+                return unravel(x_map + L_init @ eps)
+
+            make_states = lambda key, n: mala_mod.init_states(
+                lp, init_one, key, n)
+        return (mala_mod.make_kernel(lp),
+                mala_mod.make_adapter(target, adapt_cov=adapt_cov),
+                hyper, None, lp, make_states)
     raise ValueError(f"unknown/unsupported algorithm {scfg.algorithm!r} "
                      "(smc has its own entry point: samplers.smc.run_smc)")
 
@@ -175,12 +220,12 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     grid = config.grid.build()
     data, truth = make_dataset(grid, config.data, config.model)
 
-    differentiable = config.sampler.algorithm in ("hmc", "nuts")
+    differentiable = config.sampler.algorithm in ("hmc", "nuts", "mala")
     posterior = build_posterior(config.model, data, grid, config.eikonal,
                                 differentiable=differentiable)
 
-    kernel, adapter, hyper, finalize_fn, state_lp = _dispatch_sampler(
-        config.sampler, posterior)
+    kernel, adapter, hyper, finalize_fn, state_lp, make_states = \
+        _dispatch_sampler(config.sampler, posterior)
     base_kernel = kernel
     if posterior.noise_gibbs is not None:
         if config.sampler.algorithm == "pcn":
@@ -188,14 +233,24 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
                 "spike_slab noise is not supported with the pcn sampler "
                 "(its state tracks log_lik, not the full posterior, and "
                 "prior-reversible rotation is undefined for indicators)")
+        if config.sampler.algorithm == "mala":
+            raise ValueError(
+                "spike_slab noise is not supported with the mala sampler: "
+                "the indicator Gibbs sweep changes the likelihood weights "
+                "behind MALA's cached gradient (MALAState.grad), which "
+                "would bias the Langevin drift; use hmc/nuts (recompute "
+                "gradients every leapfrog) or am/am_full")
         kernel = _wrap_noise_gibbs(kernel, posterior.noise_gibbs)
 
     scfg = config.sampler
     key = jax.random.PRNGKey(scfg.seed)
     k_init, k_run = jax.random.split(key)
 
-    states = init_chain_states(state_lp, posterior.init_params,
-                               k_init, scfg.n_chains)
+    if make_states is not None:
+        states = make_states(k_init, scfg.n_chains)
+    else:
+        states = init_chain_states(state_lp, posterior.init_params,
+                                   k_init, scfg.n_chains)
 
     mesh = chain_mesh(config.dist)
     n_dev = mesh.devices.size

@@ -100,7 +100,7 @@ class ModelCfg:
 
 @dataclasses.dataclass(frozen=True)
 class SamplerCfg:
-    algorithm: str = "rwm"  # rwm | am | am_full | pcn | hmc | nuts | smc
+    algorithm: str = "rwm"  # rwm | am | am_full | pcn | hmc | nuts | mala | smc
     n_chains: int = 4
     n_warmup: int = 500
     n_samples: int = 1000
@@ -118,6 +118,12 @@ class SamplerCfg:
     n_mutation_steps: int = 5
     # pCN proposal for field parameters under Gaussian prior (RWM/AM only).
     use_pcn: bool = False
+    # MALA preconditioning: "laplace" computes the MAP + Gauss-Newton
+    # covariance once at startup (model/laplace.py) and pins it as the
+    # proposal preconditioner + chain-init distribution; "none" adapts a
+    # full Haario covariance from chain history instead.
+    precondition: str = "laplace"
+    n_map_steps: int = 150
 
 
 @dataclasses.dataclass(frozen=True)

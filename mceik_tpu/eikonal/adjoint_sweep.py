@@ -150,6 +150,61 @@ def _transport_sweep_axis(lam, g, wsigned, axis, n_inner):
     return jnp.transpose(lam_t, inv)
 
 
+DIVERGENCE_FACTOR = 10.0
+
+
+def _flagged_cycle_loop(cycle_fn, lam0, tol, max_cycles: int,
+                        g_scale=None):
+    """Shared transport cycle loop with DIVERGENCE detection (VERDICT r2
+    next-step #4): GS on ``W^T`` is only a contraction when the upwind
+    weight graph is (near-)causal — the wild slowness fields a barely
+    warmed gradient chain visits can break that, and the residual then
+    GROWS without bound (measured 3.9e5 vs tol 34.8 on an 8^3 grid,
+    MULTICHIP_r02). A truncated-but-shrinking residual is benign
+    (conservative near-converged lambda); a growing one means the lambda
+    is garbage and must not be consumed silently.
+
+    Policy: divergence = the cycle residual exceeding ``DIVERGENCE_FACTOR
+    x`` the FIRST cycle's residual (or going nonfinite) — a contractive
+    sweep's residual bounces non-monotonically between alternating sweep
+    directions but never grows past its start, while true divergence grows
+    geometrically every cycle. On detection the loop exits early and the
+    returned lambda is POISONED with NaN. The NaN propagates through the
+    VJP into the leapfrog, the proposal's logpost goes NaN, and the MH
+    kernels reject + mark the step divergent through their existing
+    nonfinite-log-ratio machinery (hmc.py/nuts.py) — the sampler stays
+    exact, the event is visible in the divergent stat, and no host
+    callback is needed (jax.debug.print both misfires under vmap batching
+    — the cond lowers to select, firing for false predicates — and is
+    unsupported by the axon PJRT plugin)."""
+    if g_scale is None:
+        g_scale = jnp.max(jnp.abs(lam0))
+    tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + g_scale)
+
+    def diverged_of(delta, d0):
+        return jnp.logical_or(~jnp.isfinite(delta),
+                              delta > DIVERGENCE_FACTOR * d0)
+
+    def cond(carry):
+        _, delta, d0, it = carry
+        keep = jnp.logical_and(delta > tol_eff, it < max_cycles)
+        div = jnp.logical_and(it >= 1, diverged_of(delta, d0))
+        return jnp.logical_and(keep, ~div)
+
+    def body(carry):
+        lam, _, d0, it = carry
+        lam_new = cycle_fn(lam)
+        delta = jnp.max(jnp.abs(lam_new - lam))
+        d0 = jnp.where(it == 0, delta, d0)     # first cycle's residual
+        return lam_new, delta, d0, it + 1
+
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    lam, delta, d0, it = lax.while_loop(
+        cond, body, (lam0, big, jnp.asarray(0.0, jnp.float32), 0))
+    diverged = jnp.logical_and(it >= 1, diverged_of(delta, d0))
+    return jnp.where(diverged, jnp.nan, lam)
+
+
 def transport_solve(g, wsigned, tol, max_cycles: int, n_inner: int = 2,
                     use_pallas: str = "auto", interpret: bool = False):
     """Solve ``lam = W^T lam + g`` by GS sweep cycles over all axes.
@@ -172,36 +227,8 @@ def transport_solve(g, wsigned, tol, max_cycles: int, n_inner: int = 2,
                 lam = _transport_sweep_axis(lam, g, wsigned, axis, n_inner)
             return lam
 
-    tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + jnp.max(jnp.abs(g)))
-
-    def cond(carry):
-        _, delta, it = carry
-        return jnp.logical_and(delta > tol_eff, it < max_cycles)
-
-    def body(carry):
-        lam, _, it = carry
-        lam_new = cycle(lam, g, wsigned)
-        delta = jnp.max(jnp.abs(lam_new - lam))
-        return lam_new, delta, it + 1
-
-    lam0 = g
-    lam, delta, it = lax.while_loop(
-        cond, body, (lam0, jnp.asarray(jnp.inf, jnp.float32), 0))
-
-    # A cap-truncated adjoint must never be silent (a truncated gradient
-    # biases HMC/NUTS invisibly). The callback fires only when the branch
-    # is taken, so the converged path pays nothing.
-    def _warn(args):
-        d, i = args
-        jax.debug.print(
-            "WARNING: adjoint transport hit its cycle cap unconverged "
-            "(residual {d:.3e} > tol {t:.3e} after {i} cycles); gradients "
-            "may be truncated — raise EikonalConfig.max_iters.",
-            d=d, t=tol_eff, i=i)
-        return 0
-
-    lax.cond(delta > tol_eff, _warn, lambda _: 0, (delta, it))
-    return lam
+    return _flagged_cycle_loop(lambda lam: cycle(lam, g, wsigned), g, tol,
+                               max_cycles)
 
 
 @functools.lru_cache(maxsize=64)

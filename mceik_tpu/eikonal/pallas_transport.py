@@ -233,24 +233,15 @@ def transport_solve_pallas_blocked(g, wsigned, tol, max_cycles: int,
         raise ValueError(
             f"axis 0 ({g.shape[0]}) not divisible into {n_blocks} blocks")
 
-    tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + jnp.max(jnp.abs(g)))
+    from mceik_tpu.eikonal.adjoint_sweep import _flagged_cycle_loop
 
-    def cond(carry):
-        _, delta, it = carry
-        return jnp.logical_and(delta > tol_eff, it < max_cycles)
-
-    def body(carry):
-        lam, _, it = carry
+    def cycle(lam):
         lam_new = _transport_block_pass(lam, g, wsigned, n_inner, n_blocks,
                                         True, interpret)
-        lam_new = _transport_block_pass(lam_new, g, wsigned, n_inner,
-                                        n_blocks, False, interpret)
-        delta = jnp.max(jnp.abs(lam_new - lam))
-        return lam_new, delta, it + 1
+        return _transport_block_pass(lam_new, g, wsigned, n_inner,
+                                     n_blocks, False, interpret)
 
-    lam, _, _ = lax.while_loop(
-        cond, body, (g, jnp.asarray(jnp.inf, jnp.float32), 0))
-    return lam
+    return _flagged_cycle_loop(cycle, g, tol, max_cycles)
 
 
 def transport_solve_pallas_packed(g, wsigned, tol, max_cycles: int,
@@ -280,19 +271,9 @@ def transport_solve_pallas_packed(g, wsigned, tol, max_cycles: int,
             lam_p = _repack(lam_p, P, axis, (axis + 1) % D)
         return lam_p
 
-    tol_eff = jnp.asarray(tol, jnp.float32) * (1e-3 + jnp.max(jnp.abs(g)))
-
-    def cond(carry):
-        _, delta, it = carry
-        return jnp.logical_and(delta > tol_eff, it < max_cycles)
-
-    def body(carry):
-        lam_p, _, it = carry
-        lam_new = cycle(lam_p)
-        delta = jnp.max(jnp.abs(lam_new - lam_p))
-        return lam_new, delta, it + 1
+    from mceik_tpu.eikonal.adjoint_sweep import _flagged_cycle_loop
 
     _, sperm0, inv_sperm0 = _pack_perms(D, 0)
-    lam, _, _ = lax.while_loop(
-        cond, body, (g_packed[0], jnp.asarray(jnp.inf, jnp.float32), 0))
+    lam = _flagged_cycle_loop(cycle, g_packed[0], tol, max_cycles,
+                              g_scale=jnp.max(jnp.abs(g)))
     return _unpack(lam, P, inv_sperm0)

@@ -9,4 +9,4 @@ vmap from cross-chain pooled statistics — the pooling mean becomes a
 """
 
 from mceik_tpu.samplers.base import MHState, run_mcmc, MCMCResult, init_chain_states  # noqa: F401
-from mceik_tpu.samplers import rwm, am, am_full, hmc  # noqa: F401
+from mceik_tpu.samplers import rwm, am, am_full, hmc, mala  # noqa: F401
