@@ -139,14 +139,17 @@ def _dispatch_sampler(scfg, posterior):
             unravel = mala_mod._unravel_fn(p_map)
 
             def init_one(key):
-                # Chains start as draws FROM the Laplace approximation
-                # (the posterior's typical set when C is accurate) —
-                # inflating beyond 1x throws 1e3+-dim chains into the
-                # nonlinear blowup region of a tight likelihood, which no
-                # short warmup recovers from (measured: 2x inflation at
-                # 64^3/inv-12^3 left chains stuck at logpost -2e7).
+                # Chains start at the MAP + 0.3x Laplace jitter. Full 1x
+                # draws from the Laplace approximation are NOT safe at
+                # field scale: the prior-dominated soft subspace (1600+
+                # dims at inv 12^3, sd 0.2 in log-slowness) is where the
+                # forward model's nonlinearity lives, and a full-sd wiggle
+                # of every soft direction lands at logpost ~ -1e6 (vs MAP
+                # ~ +1e2, measured on 64^3) — a region no short warmup
+                # escapes. 0.3x keeps chains inside the near-Gaussian
+                # basin; burn-in is discarded as usual.
                 eps = active * jax.random.normal(key, x_map.shape, jnp.float32)
-                return unravel(x_map + L_init @ eps)
+                return unravel(x_map + 0.3 * (L_init @ eps))
 
             make_states = lambda key, n: mala_mod.init_states(
                 lp, init_one, key, n)

@@ -59,6 +59,23 @@ PROBLEMS = {
                  "noise": 0.03, "seed": 78, "checker_cells": [2, 2, 2],
                  "checker_amplitude": 0.08},
     },
+    # Joint slowness + hypocenters (c3-shaped; VERDICT r2 #7): the
+    # north-star names "posterior means and variances of slowness AND
+    # event locations", so the moment z-test must cover the event-location
+    # path (tables-of-u + hypocenter interpolation + exact weighted t0
+    # marginalization). The tracked vector is the FULL active flat params
+    # (u cells then hypo_raw), so drift in either block fails CI.
+    "c3_joint_small": {
+        "grid": {"shape": [12, 12, 10], "spacing": [1.0, 1.0, 1.0]},
+        "eikonal": {"method": "sweep", "tol": 1e-3, "max_iters": 30,
+                    "use_pallas": "off"},
+        "model": {"mode": "joint", "inv_shape": [3, 3, 2],
+                  "background_slowness": 1.0, "prior_sigma_u": 0.15,
+                  "sigma": 0.04, "marginalize_t0": True},
+        "data": {"dataset": "events3d", "n_events": 3, "n_stations": 8,
+                 "noise": 0.04, "seed": 79, "checker_cells": [2, 2, 2],
+                 "checker_amplitude": 0.08},
+    },
 }
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
@@ -128,6 +145,7 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
     """
     from mceik_tpu.diag.ess import ess_per_param
     from mceik_tpu.samplers import am_full
+    from mceik_tpu.samplers.am_full import _ravel
     from mceik_tpu.samplers.base import init_chain_states, run_mcmc
 
     post = _build(name)
@@ -151,9 +169,14 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
             count=np.float32(n_prime),
             m2=(n_prime - 1.0) * cov)
 
+    # Tracked vector: tomo problems keep the historical u-only layout
+    # (committed golden artifacts); joint problems track the FULL active
+    # flat params (u cells, then hypo_raw) so the event-location path is
+    # under the same z-test.
+    collect = (lambda p: p.u) if post.cfg.mode == "tomo" else _ravel
     r = run_mcmc(kernel, adapter, states, hyper,
                  jax.random.PRNGKey(seed + 2), n_warmup=n_warmup,
-                 n_steps=n_steps, thin=thin, collect_fn=lambda p: p.u)
+                 n_steps=n_steps, thin=thin, collect_fn=collect)
     u = np.asarray(r.samples)                   # (n_collect, n_chains, ...)
     n_collect = u.shape[0]
     flat = u.reshape(n_collect, n_chains, -1)

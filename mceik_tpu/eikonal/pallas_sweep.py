@@ -315,6 +315,188 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
 
 
 # ---------------------------------------------------------------------------
+# Grid-batched packed solves: the whole solve batch in ONE pallas_call.
+#
+# The r2 profile (BASELINE.md 2026-08-19) showed ~150 us of every 311 us
+# packed cycle was 3 per-`pallas_call` launch gaps (~50 us each) — HALF the
+# cycle — because the batch of solves was sequenced with `lax.map`, paying
+# 3 launches per pair per cycle. Here the batch rides a Pallas GRID
+# dimension instead: ONE launch per axis sweep covers every pair, Mosaic
+# revolving-buffers the per-pair blocks (next pair's field streams in while
+# the current one sweeps), and the gap amortizes across the batch
+# (VERDICT r2 next-step #3).
+#
+# VMEM budget is what forces the one design change vs sweep_axis0: with
+# T + s + seed_floor + out all double-buffered the working set is
+# 8 x field bytes (16 MB at 64^3 packed — over the limit; the r1 vmap
+# experiments hit exactly this). The seed floor is therefore COMPUTED IN
+# KERNEL from 4 scalars per packed segment (fractional source index +
+# source slowness) — same formula as solve.seed_source, so the fixed point
+# is unchanged — cutting the resident set to 6 field buffers (12 MB) and
+# the HBM traffic per launch by a quarter.
+# ---------------------------------------------------------------------------
+
+
+def _seed_coef_planes(scal, plane_shape, nc, n_seg):
+    """Per-lane coefficient planes (src_a, src_b, src_c, s_src) from the
+    (n_seg, 4) scalar block — each lane column belongs to segment
+    ``col // nc`` and reads that segment's scalars."""
+    col = lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    seg = col // nc
+    coefs = []
+    for c in range(4):
+        acc = jnp.zeros(plane_shape, jnp.float32)
+        for p in range(n_seg):
+            acc += jnp.where(seg == p, scal[p, c], 0.0)
+        coefs.append(acc)
+    return coefs
+
+
+def _sweep_axis0_seeded_kernel(scal_ref, T_ref, s_ref, out_ref, *,
+                               spacing: Tuple[float, ...], n_inner: int,
+                               n_seg: int, radius: float):
+    """Grid-batched variant of `_sweep_axis0_kernel`: block = one packed
+    field (leading length-1 grid dim), seed floor recomputed per plane from
+    the per-segment scalars (src fractional index in THIS axis permutation
+    + source slowness)."""
+    n0 = T_ref.shape[1]
+    plane_shape = T_ref.shape[2:]
+    nc = plane_shape[-1] // n_seg
+    sp_swept = spacing[0]
+    sp_plane = tuple(spacing[1:])
+
+    out_ref[...] = T_ref[...]
+    big_plane = jnp.full(plane_shape, BIG, jnp.float32)
+
+    scal = scal_ref[0]
+    src_a, src_b, src_c, s_src = _seed_coef_planes(scal, plane_shape, nc,
+                                                   n_seg)
+    assert len(sp_plane) == 2, "gridbatch kernel is 3-D only (2-D fields " \
+        "use the lanebatched path)"
+    row = lax.broadcasted_iota(jnp.int32, plane_shape, 0).astype(jnp.float32)
+    col = lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    kk = (col - (col // nc) * nc).astype(jnp.float32)
+    # In-plane part of the squared source distance (physical units),
+    # invariant across planes — hoisted out of the march loops.
+    d2_plane = ((row - src_b) * sp_plane[0]) ** 2 + \
+               ((kk - src_c) * sp_plane[1]) ** 2
+
+    def floor_at(i):
+        d2 = ((i.astype(jnp.float32) - src_a) * sp_swept) ** 2 + d2_plane
+        dist = jnp.sqrt(d2 + 1e-12)       # matches seed_source exactly
+        return jnp.where(dist <= radius, s_src * dist, 0.0)
+
+    def update_plane_at(i):
+        # i >= 1 form: strict "> 0" on a fori index is miscompiled in
+        # Pallas kernels on this backend (docs/ARCHITECTURE.md).
+        prev = jnp.where(i >= 1, out_ref[0, jnp.maximum(i - 1, 0)],
+                         big_plane)
+        nxt = jnp.where(i <= n0 - 2, out_ref[0, jnp.minimum(i + 1, n0 - 1)],
+                        big_plane)
+        Tp = _plane_update(out_ref[0, i], prev, nxt, s_ref[0, i],
+                           floor_at(i), sp_swept, sp_plane, n_inner, n_seg)
+        out_ref[0, i] = Tp
+
+    def fwd_body(i, _):
+        update_plane_at(i)
+        return 0
+
+    lax.fori_loop(0, n0, fwd_body, 0)
+
+    def bwd_body(k, _):
+        update_plane_at(n0 - 1 - k)
+        return 0
+
+    lax.fori_loop(0, n0, bwd_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
+                                              "interpret", "n_seg",
+                                              "radius"))
+def sweep_axis0_gridbatch(Tb, sb, scal, spacing, radius, n_inner: int = 2,
+                          interpret: bool = False, n_seg: int = 1):
+    """One bidirectional axis-0 sweep of a BATCH of packed fields in one
+    pallas_call: ``Tb``/``sb`` are ``(B, n0, n1, W)`` (W lane-packs n_seg
+    segments), ``scal`` is ``(B, n_seg, 4)`` rows of
+    ``(src_a, src_b, src_c, s_src)`` in this axis permutation's fractional
+    index coords (2-D: ``src_c`` unused). The batch rides the grid; Mosaic
+    pipelines the per-pair HBM<->VMEM streams across grid steps."""
+    B, n0 = Tb.shape[:2]
+    rest = Tb.shape[2:]
+    kernel = functools.partial(_sweep_axis0_seeded_kernel, spacing=spacing,
+                               n_inner=n_inner, n_seg=n_seg,
+                               radius=float(radius))
+    fspec = pl.BlockSpec((1, n0) + rest, lambda b: (b,) + (0,) * (1 + len(rest)))
+    sspec = pl.BlockSpec((1,) + scal.shape[1:], lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct(Tb.shape, jnp.float32),
+        in_specs=[sspec, fspec, fspec],
+        out_specs=fspec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, Tb, sb)
+
+
+def sweep_solve_pallas_gridbatch(T0b, sb, src_idx, s_src, grid_shape,
+                                 spacing, seed_radius, tol, max_cycles,
+                                 n_inner: int = 2, interpret: bool = False):
+    """Fixed-point solve of ``B x P`` lane-packed fields with THREE
+    pallas_calls per cycle TOTAL (one per axis, batch on the grid dim) —
+    vs ``3 x B`` for the lax.map'd per-pair path it supersedes.
+
+    Args: ``T0b``/``sb`` stacked ``(B, P) + field``; ``src_idx`` fractional
+    source index coords ``(B, P, D)``; ``s_src`` source slowness
+    ``(B, P)``. Joint convergence across the whole batch (cycle counts are
+    uniform at matched tolerance — BASELINE.md: 6-7 cycles at 64^3/1e-3).
+    """
+    B, P = T0b.shape[:2]
+    D = len(grid_shape)
+    flat = (B * P,) + grid_shape
+
+    s_packed, scal_ax = [], []
+    for axis in range(D):
+        perm, sperm, _ = _pack_perms(D, axis)
+        sp4 = (0,) + tuple(p + 1 for p in perm)
+        s_packed.append(jax.vmap(lambda x: _pack(x, sperm))(sb))
+        src_perm = src_idx[..., list(perm)]              # (B, P, D)
+        pad = jnp.zeros((B, P, 3 - D), jnp.float32)
+        scal_ax.append(jnp.concatenate(
+            [src_perm.astype(jnp.float32), pad, s_src[..., None]], axis=-1))
+
+    _, sperm0, inv_sperm0 = _pack_perms(D, 0)
+    Tp0 = jax.vmap(lambda x: _pack(x, sperm0))(T0b)
+    radius = seed_radius * max(spacing)
+
+    def cycle(Tp):
+        for axis in range(D):
+            perm, _, _ = _pack_perms(D, axis)
+            sp = tuple(spacing[p] for p in perm)
+            Tp = sweep_axis0_gridbatch(Tp, s_packed[axis], scal_ax[axis],
+                                       sp, radius, n_inner, interpret,
+                                       n_seg=P)
+            Tp = jax.vmap(lambda y: _repack(y, P, axis, (axis + 1) % D))(Tp)
+        return Tp
+
+    def cond(carry):
+        _, delta, it = carry
+        return jnp.logical_and(delta > tol, it < max_cycles)
+
+    def body(carry):
+        Tp, _, it = carry
+        Tp_new = cycle(Tp)
+        delta = jnp.max(jnp.abs(Tp_new - Tp))
+        return Tp_new, delta, it + 1
+
+    Tp, _, _ = lax.while_loop(
+        cond, body, (Tp0, jnp.asarray(jnp.inf, jnp.float32), 0))
+    out = jax.vmap(lambda y: _unpack(y, P, inv_sperm0))(Tp)
+    return out.reshape(flat)
+
+
+# ---------------------------------------------------------------------------
 # Lane-batched 2-D solves: the whole batch in the lane dimension.
 #
 # 2-D fields (configs 1/4: crosswell tomography, SMC mutation over thousands

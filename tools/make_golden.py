@@ -9,7 +9,14 @@ import sys
 
 sys.path.insert(0, ".")
 
-from mceik_tpu.diag.golden import PROBLEMS, make_golden
+import jax
+
+# Force CPU HERE, not via JAX_PLATFORMS: the axon site package overrides
+# the env var (only jax.config wins — same reason tests/conftest.py does
+# both). Goldens must be generated on the platform CI asserts them on.
+jax.config.update("jax_platforms", "cpu")
+
+from mceik_tpu.diag.golden import PROBLEMS, make_golden  # noqa: E402
 
 
 def main():
