@@ -1,25 +1,26 @@
 """Benchmark: effective samples/s/chip on 3-D checkerboard tomography
-(BASELINE.json's north-star metric; SURVEY.md §6; VERDICT r1 #1).
+(BASELINE.json's north-star metric; SURVEY.md §6; VERDICT r1 #1, r2 #1/#2).
 
 Runs the config-2-shaped workload (64^3 checkerboard, inv 12^3, 8 src,
-12 rec) with BOTH the adaptive-Metropolis and the NUTS (gradient/adjoint)
-kernels and prints ONE JSON line:
+12 rec) with THREE kernels — adaptive Metropolis, Laplace-preconditioned
+MALA (model/laplace.py + samplers/mala.py), and NUTS — and prints ONE
+JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline value is AM's ESS(logpost)/s — the best measured effective
-throughput on this workload (the gradient samplers' profiled economics are
-recorded in BASELINE.md 2026-08-19: one swept-adjoint gradient costs
-~1.75x a forward likelihood, so a depth-4 NUTS step costs ~26x an AM step
-and does not pay for itself at inv=12^3). Per-cell slowness ESS and the
-NUTS numbers ride in "extra" (ESS of the scalar logpost alone flatters
-mixing — VERDICT r1 weak #6). There are no published reference numbers
+The headline value is the best measured ESS(logpost)/s across kernels
+(MALA, whose Gauss-Newton-preconditioned whitened proposal mixes the
+1728-dim field near-iid at one gradient/step). Per-cell slowness ESS/s —
+the statistic the posterior-moments criterion actually feels — rides in
+"extra" for every kernel. There are no published reference numbers
 (reference mount empty, see BASELINE.md); ``vs_baseline`` tracks our own
 round-1 headline so the driver sees round-over-round movement.
 
-Budgets are sized so the whole script stays under ~5 min on the v5-lite
-chip (the careful long-window measurements live in
-tools/gradient_sampler_bench.py and BASELINE.md).
+EVERY device execution here is chunked under ~20 s: single executions
+beyond ~60 s die with "TPU device error" through the axon tunnel
+(docs/ARCHITECTURE.md; this killed BENCH r2's first r3 attempt at the
+10-step NUTS block). Careful long-window measurements live in
+tools/gradient_sampler_bench.py and BASELINE.md.
 """
 
 import json
@@ -31,10 +32,40 @@ import numpy as np
 # Round-1 recorded effective-samples/s on this workload (BASELINE.md
 # 2026-08-19: 79.7 chain-steps/s -> 1.66 eff-samples/s at 16 chains;
 # VERDICT r1 quotes 1.70). Locked as the like-for-like baseline for the
-# new ESS/s headline (same 16-chain workload).
+# ESS/s headline (same 16-chain workload).
 BASELINE_EFF_PER_S = 1.70
-# Round-1 steps/s baselines, kept for continuity in "extra".
+# Round-1 steps/s baseline, kept for continuity in "extra".
 BASELINE_STEPS = 48.364
+
+
+def sample_chunked(run_mcmc, kernel, states, hyper, key, n_steps, chunk,
+                   collect_fn):
+    """Post-warmup sampling in <=chunk-step executions; returns
+    (states, samples, lp_trace, acc_trace, wall_s, welford).
+
+    The FIRST chunk is excluded from the wall clock (it compiles the
+    sampling graph — remote-compile latency through the axon tunnel
+    varies by tens of seconds run-to-run and must not contaminate the
+    throughput number) but its draws still count toward the traces, so
+    ESS/s uses the timed chunks' wall with the timed chunks' draws."""
+    samples, lps, accs = [], [], []
+    wall = 0.0
+    welford = None
+    for i in range(1 + -(-n_steps // chunk)):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        r = run_mcmc(kernel, None, states, hyper, sub, n_warmup=0,
+                     n_steps=chunk, collect_fn=collect_fn)
+        jax.block_until_ready(r.logpost_trace)
+        if i > 0:
+            wall += time.perf_counter() - t0
+            samples.append(np.asarray(jax.device_get(r.samples)))
+            lps.append(np.asarray(r.logpost_trace))
+            accs.append(np.asarray(r.accept_trace))
+        states = r.states
+        welford = r.welford
+    return (states, np.concatenate(samples, 0), np.concatenate(lps, 0),
+            np.concatenate(accs, 0), wall, welford)
 
 
 def main():
@@ -43,8 +74,9 @@ def main():
     from mceik_tpu.diag.ess import ess, ess_per_param
     from mceik_tpu.diag.moments import welford_merge_chains
     from mceik_tpu.grid import Grid
+    from mceik_tpu.model.laplace import laplace_preconditioner
     from mceik_tpu.model.posterior import build_posterior
-    from mceik_tpu.samplers import am, hmc, nuts
+    from mceik_tpu.samplers import am, hmc, mala, nuts
     from mceik_tpu.samplers.base import init_chain_states, run_mcmc
 
     n = 64
@@ -73,27 +105,64 @@ def main():
                   n_warmup=50, n_steps=1)
     jax.block_until_ready(r0.logpost_trace)
 
-    n_steps = 150
-    t0 = time.perf_counter()
-    r = run_mcmc(kernel, None, r0.states, r0.hyper, jax.random.PRNGKey(3),
-                 n_warmup=0, n_steps=n_steps, collect_fn=lambda p: p.u)
-    jax.block_until_ready(r.logpost_trace)
-    wall_am = time.perf_counter() - t0
-
-    steps_s_am = n_steps * n_chains / wall_am
-    lp = np.asarray(r.logpost_trace)
+    (_, asamples, lp, _, wall_am, am_welford) = sample_chunked(
+        run_mcmc, kernel, r0.states, r0.hyper, jax.random.PRNGKey(3),
+        n_steps=150, chunk=50, collect_fn=lambda p: p.u)
+    steps_s_am = lp.shape[0] * n_chains / wall_am
     ess_lp_am = ess(lp)
-    cell_am = ess_per_param(np.asarray(jax.device_get(r.samples)))
+    cell_am = ess_per_param(asamples)
     eff_am = ess_lp_am / wall_am
+
+    # --- MALA: Laplace/Gauss-Newton preconditioner, 1 gradient/step ------
+    # (VERDICT r2 #2: the full-covariance remedy for per-cell ESS at the
+    # estimator floor; setup = MAP + GN covariance, ~n_obs adjoint VJPs.)
+    post_g = build_posterior(mcfg, data, grid, ecfg, differentiable=True)
+    t0 = time.perf_counter()
+    p_map, cov, _ = laplace_preconditioner(post_g, n_map_steps=60,
+                                           n_newton=8)
+    cov_np = np.asarray(cov, np.float64)
+    cov_np = 0.5 * (cov_np + cov_np.T)
+    cov_np += (1e-9 * np.trace(cov_np) / cov_np.shape[0]) * np.eye(
+        cov_np.shape[0])
+    Lc = jax.numpy.asarray(np.linalg.cholesky(cov_np), jax.numpy.float32)
+    setup_wall = time.perf_counter() - t0
+
+    x_map = mala._ravel(p_map)
+    unravel = mala._unravel_fn(p_map)
+
+    def init_laplace(key):
+        # 0.3x Laplace jitter, NOT full 1x draws: at field scale the
+        # prior-dominated soft subspace is nonlinear enough that full-sd
+        # wiggles land at logpost ~ -1e6 (api.py's mala path, measured).
+        xi = jax.random.normal(key, x_map.shape, x_map.dtype)
+        return unravel(x_map + 0.3 * (Lc @ xi))
+
+    mstates = mala.init_states(post_g.logpost, init_laplace,
+                               jax.random.PRNGKey(7), n_chains)
+    mhyper = mala.prime_covariance(
+        mala.init_hyper(post_g.prior_scales, 0.3, p_map), cov)
+    mkernel = mala.make_kernel(post_g.logpost)
+    madapter = mala.make_adapter(adapt_cov=False)
+    for i in range(2):                       # 2 x 5-step warmup chunks
+        m0 = run_mcmc(mkernel, madapter, mstates, mhyper,
+                      jax.random.PRNGKey(8 + i), n_warmup=5, n_steps=1,
+                      t0_offset=5 * i)
+        jax.block_until_ready(m0.logpost_trace)
+        mstates, mhyper = m0.states, m0.hyper
+    (_, msamples, mlp, macc, wall_m, _) = sample_chunked(
+        run_mcmc, mkernel, mstates, mhyper, jax.random.PRNGKey(10),
+        n_steps=40, chunk=10, collect_fn=lambda p: p.u)
+    eff_mala = ess(mlp) / wall_m
+    cell_mala = ess_per_param(msamples)
+    steps_s_mala = mlp.shape[0] * n_chains / wall_m
 
     # --- NUTS: AM-primed diag mass, short steady-state window ------------
     # (gradient path: implicit-adjoint swept transport; BASELINE.md r2.)
-    post_g = build_posterior(mcfg, data, grid, ecfg, differentiable=True)
     # run_mcmc's welford is PER-CHAIN (count (C,), m2 leaves (C, ...)); the
     # NUTS mass priming needs the POOLED accumulator (scalar count) — both
     # for the variance broadcast here and because hmc's warmup adapter
     # merges chain batches into it (VERDICT r2 missing #1).
-    w = welford_merge_chains(r.welford)
+    w = welford_merge_chains(am_welford)
     cnt = np.maximum(float(w.count), 2.0)
     var = jax.tree.map(
         lambda m2, s: (jax.numpy.maximum(
@@ -108,23 +177,22 @@ def main():
     # mass_start) is what makes the AM-estimated variances stick.
     ghyper = ghyper.replace(inv_mass=var, welford=w)
     gkernel = nuts.make_kernel(post_g.logpost, max_tree_depth=4)
-    g0 = run_mcmc(gkernel, hmc.make_adapter(0.8), gstates, ghyper,
-                  jax.random.PRNGKey(5), n_warmup=6, n_steps=1)
-    jax.block_until_ready(g0.logpost_trace)
-    ghyper = hmc.finalize(g0.hyper)
+    for i in range(3):                       # 3 x 2-step warmup chunks
+        g0 = run_mcmc(gkernel, hmc.make_adapter(0.8), gstates, ghyper,
+                      jax.random.PRNGKey(5 + i), n_warmup=2, n_steps=1,
+                      t0_offset=2 * i)
+        jax.block_until_ready(g0.logpost_trace)
+        gstates, ghyper = g0.states, g0.hyper
+    ghyper = hmc.finalize(ghyper)
 
-    n_gsteps = 10
-    t0 = time.perf_counter()
-    g = run_mcmc(gkernel, None, g0.states, ghyper, jax.random.PRNGKey(6),
-                 n_warmup=0, n_steps=n_gsteps, collect_fn=lambda p: p.u)
-    jax.block_until_ready(g.logpost_trace)
-    wall_g = time.perf_counter() - t0
-    glp = np.asarray(g.logpost_trace)
+    (_, gsamples, glp, gacc, wall_g, _) = sample_chunked(
+        run_mcmc, gkernel, gstates, ghyper, jax.random.PRNGKey(6),
+        n_steps=6, chunk=2, collect_fn=lambda p: p.u)
     eff_nuts = ess(glp) / wall_g
-    cell_nuts = ess_per_param(np.asarray(jax.device_get(g.samples)))
-    steps_s_nuts = n_gsteps * n_chains / wall_g
+    cell_nuts = ess_per_param(gsamples)
+    steps_s_nuts = glp.shape[0] * n_chains / wall_g
 
-    value = eff_am
+    value = max(eff_am, eff_mala)
     vs = value / BASELINE_EFF_PER_S
     print(json.dumps({
         "metric": "eff_samples_per_s_chip_3d_checkerboard64",
@@ -132,15 +200,23 @@ def main():
         "unit": "ESS(logpost)/s",
         "vs_baseline": round(vs, 3),
         "extra": {
+            "am_eff_samples_per_s": round(eff_am, 4),
             "am_chain_steps_per_s": round(steps_s_am, 3),
             "am_vs_r1_steps_baseline": round(steps_s_am / BASELINE_STEPS, 3),
             "am_ess_cell_min_per_s": round(float(cell_am.min()) / wall_am, 4),
             "am_ess_cell_med_per_s": round(float(np.median(cell_am)) / wall_am, 4),
+            "mala_eff_samples_per_s": round(eff_mala, 4),
+            "mala_chain_steps_per_s": round(steps_s_mala, 3),
+            "mala_ess_cell_min_per_s": round(float(cell_mala.min()) / wall_m, 4),
+            "mala_ess_cell_med_per_s": round(float(np.median(cell_mala)) / wall_m, 4),
+            "mala_accept": round(float(macc.mean()), 3),
+            "mala_laplace_setup_wall_s": round(setup_wall, 1),
             "nuts_eff_samples_per_s": round(eff_nuts, 4),
             "nuts_chain_steps_per_s": round(steps_s_nuts, 3),
             "nuts_ess_cell_min_per_s": round(float(cell_nuts.min()) / wall_g, 4),
             "nuts_ess_cell_med_per_s": round(float(np.median(cell_nuts)) / wall_g, 4),
             "wall_s_am": round(wall_am, 3),
+            "wall_s_mala": round(wall_m, 3),
             "wall_s_nuts": round(wall_g, 3),
             "n_chains": n_chains,
             "device": str(jax.devices()[0]),

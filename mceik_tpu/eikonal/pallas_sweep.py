@@ -358,7 +358,18 @@ def _sweep_axis0_seeded_kernel(scal_ref, T_ref, s_ref, out_ref, *,
     """Grid-batched variant of `_sweep_axis0_kernel`: block = one packed
     field (leading length-1 grid dim), seed floor recomputed per plane from
     the per-segment scalars (src fractional index in THIS axis permutation
-    + source slowness)."""
+    + source slowness).
+
+    ``scal`` column 4 carries the block's DONE flag: blocks whose
+    previous-cycle residual already met tolerance SKIP their march loops
+    (the block still streams through unchanged — bandwidth only; the flag
+    rides the scalar block because Mosaic rejects sub-(8,128) blocks for
+    a standalone (B,1) operand). Without this, joint convergence
+    across the whole batch makes every field pay the slowest field's
+    cycle count: measured +31% at B=128/64^3 vs the per-pair path, while
+    the same kernel WINS 24% at B=2 (tools/gridbatch_compare.py,
+    2026-08-20). Per-block stopping restores the per-pair path's
+    convergence contract with gridbatch's launch amortization."""
     n0 = T_ref.shape[1]
     plane_shape = T_ref.shape[2:]
     nc = plane_shape[-1] // n_seg
@@ -401,33 +412,41 @@ def _sweep_axis0_seeded_kernel(scal_ref, T_ref, s_ref, out_ref, *,
         update_plane_at(i)
         return 0
 
-    lax.fori_loop(0, n0, fwd_body, 0)
-
     def bwd_body(k, _):
         update_plane_at(n0 - 1 - k)
         return 0
 
-    lax.fori_loop(0, n0, bwd_body, 0)
+    @pl.when(scal[0, 4] < 0.5)
+    def _march():
+        lax.fori_loop(0, n0, fwd_body, 0)
+        lax.fori_loop(0, n0, bwd_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
                                               "interpret", "n_seg",
                                               "radius"))
-def sweep_axis0_gridbatch(Tb, sb, scal, spacing, radius, n_inner: int = 2,
-                          interpret: bool = False, n_seg: int = 1):
+def sweep_axis0_gridbatch(Tb, sb, scal, done, spacing, radius,
+                          n_inner: int = 2, interpret: bool = False,
+                          n_seg: int = 1):
     """One bidirectional axis-0 sweep of a BATCH of packed fields in one
     pallas_call: ``Tb``/``sb`` are ``(B, n0, n1, W)`` (W lane-packs n_seg
     segments), ``scal`` is ``(B, n_seg, 4)`` rows of
     ``(src_a, src_b, src_c, s_src)`` in this axis permutation's fractional
-    index coords (2-D: ``src_c`` unused). The batch rides the grid; Mosaic
-    pipelines the per-pair HBM<->VMEM streams across grid steps."""
+    index coords (2-D: ``src_c`` unused); ``done`` is ``(B,)`` 0/1 f32 —
+    converged blocks pass through unswept. The batch rides the grid;
+    Mosaic pipelines the per-pair HBM<->VMEM streams across grid steps."""
     B, n0 = Tb.shape[:2]
     rest = Tb.shape[2:]
     kernel = functools.partial(_sweep_axis0_seeded_kernel, spacing=spacing,
                                n_inner=n_inner, n_seg=n_seg,
                                radius=float(radius))
+    # done rides as scal column 4 (see kernel docstring).
+    scal5 = jnp.concatenate(
+        [scal, jnp.broadcast_to(
+            done.astype(jnp.float32).reshape(B, 1, 1),
+            (B, scal.shape[1], 1))], axis=-1)
     fspec = pl.BlockSpec((1, n0) + rest, lambda b: (b,) + (0,) * (1 + len(rest)))
-    sspec = pl.BlockSpec((1,) + scal.shape[1:], lambda b: (b, 0, 0))
+    sspec = pl.BlockSpec((1,) + scal5.shape[1:], lambda b: (b, 0, 0))
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -437,7 +456,7 @@ def sweep_axis0_gridbatch(Tb, sb, scal, spacing, radius, n_inner: int = 2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(scal, Tb, sb)
+    )(scal5, Tb, sb)
 
 
 def sweep_solve_pallas_gridbatch(T0b, sb, src_idx, s_src, grid_shape,
@@ -449,8 +468,12 @@ def sweep_solve_pallas_gridbatch(T0b, sb, src_idx, s_src, grid_shape,
 
     Args: ``T0b``/``sb`` stacked ``(B, P) + field``; ``src_idx`` fractional
     source index coords ``(B, P, D)``; ``s_src`` source slowness
-    ``(B, P)``. Joint convergence across the whole batch (cycle counts are
-    uniform at matched tolerance — BASELINE.md: 6-7 cycles at 64^3/1e-3).
+    ``(B, P)``. Convergence is PER BLOCK (per packed P-tuple — the same
+    contract as the per-pair path): each block's residual is tracked
+    separately and converged blocks ride later cycles as unswept
+    pass-throughs, so no field pays the slowest field's cycle count
+    (tools/gridbatch_compare.py measured that joint-batch convergence
+    cost +31% at B=128).
     """
     B, P = T0b.shape[:2]
     D = len(grid_shape)
@@ -459,7 +482,6 @@ def sweep_solve_pallas_gridbatch(T0b, sb, src_idx, s_src, grid_shape,
     s_packed, scal_ax = [], []
     for axis in range(D):
         perm, sperm, _ = _pack_perms(D, axis)
-        sp4 = (0,) + tuple(p + 1 for p in perm)
         s_packed.append(jax.vmap(lambda x: _pack(x, sperm))(sb))
         src_perm = src_idx[..., list(perm)]              # (B, P, D)
         pad = jnp.zeros((B, P, 3 - D), jnp.float32)
@@ -470,28 +492,30 @@ def sweep_solve_pallas_gridbatch(T0b, sb, src_idx, s_src, grid_shape,
     Tp0 = jax.vmap(lambda x: _pack(x, sperm0))(T0b)
     radius = seed_radius * max(spacing)
 
-    def cycle(Tp):
+    def cycle(Tp, done):
         for axis in range(D):
             perm, _, _ = _pack_perms(D, axis)
             sp = tuple(spacing[p] for p in perm)
             Tp = sweep_axis0_gridbatch(Tp, s_packed[axis], scal_ax[axis],
-                                       sp, radius, n_inner, interpret,
-                                       n_seg=P)
+                                       done, sp, radius, n_inner,
+                                       interpret, n_seg=P)
             Tp = jax.vmap(lambda y: _repack(y, P, axis, (axis + 1) % D))(Tp)
         return Tp
 
     def cond(carry):
-        _, delta, it = carry
-        return jnp.logical_and(delta > tol, it < max_cycles)
+        _, delta_b, it = carry
+        return jnp.logical_and(jnp.max(delta_b) > tol, it < max_cycles)
 
     def body(carry):
-        Tp, _, it = carry
-        Tp_new = cycle(Tp)
-        delta = jnp.max(jnp.abs(Tp_new - Tp))
-        return Tp_new, delta, it + 1
+        Tp, delta_b, it = carry
+        done = (delta_b <= tol).astype(jnp.float32)
+        Tp_new = cycle(Tp, done)
+        delta_b = jnp.max(jnp.abs(Tp_new - Tp), axis=(1, 2, 3))
+        return Tp_new, delta_b, it + 1
 
     Tp, _, _ = lax.while_loop(
-        cond, body, (Tp0, jnp.asarray(jnp.inf, jnp.float32), 0))
+        cond, body,
+        (Tp0, jnp.full((B,), jnp.inf, jnp.float32), 0))
     out = jax.vmap(lambda y: _unpack(y, P, inv_sperm0))(Tp)
     return out.reshape(flat)
 

@@ -29,7 +29,10 @@ def _from_dict(cls, d: Dict[str, Any]):
             if v is not None:
                 v = tuple(v)
         kwargs[f.name] = v
-    unknown = set(d) - {f.name for f in dataclasses.fields(cls)}
+    # Keys starting with "_" are comments (JSON has no comment syntax);
+    # anything else unknown is a typo and must fail loudly.
+    unknown = {k for k in set(d) - {f.name for f in dataclasses.fields(cls)}
+               if not k.startswith("_")}
     if unknown:
         raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
     return cls(**kwargs)

@@ -235,6 +235,110 @@ def run_grad(post, which="hmc", n_chains=16, n_warmup=80, n_steps=100,
     return summarize(which, wall, n_steps, n_chains, samples, lp, extra)
 
 
+def run_mala(post_g, n_chains=16, n_warmup=40, n_steps=300, thin=1,
+             n_map_steps=150, eps0=0.3):
+    """Laplace/Gauss-Newton-preconditioned MALA (VERDICT r2 #2): one-time
+    MAP + GN-covariance setup (~n_obs adjoint VJPs, model/laplace.py),
+    then ONE gradient per step with the exact whitened proposal — the
+    full-covariance remedy for per-cell ESS sitting at the estimator
+    floor, run at the flagship 64^3/inv-12^3 shape."""
+    from mceik_tpu.model.laplace import laplace_preconditioner
+    from mceik_tpu.samplers import mala
+
+    t_setup = time.perf_counter()
+    p_map, cov, trace = laplace_preconditioner(post_g,
+                                               n_map_steps=n_map_steps)
+    # float32 inverse is not exactly symmetric; symmetrize + trace-scaled
+    # jitter before the host-side factorization used for chain init.
+    cov_np = np.asarray(cov, np.float64)
+    cov_np = 0.5 * (cov_np + cov_np.T)
+    cov_np += (1e-9 * np.trace(cov_np) / cov_np.shape[0]) * np.eye(
+        cov_np.shape[0])
+    L = jnp.asarray(np.linalg.cholesky(cov_np), jnp.float32)
+    setup_wall = time.perf_counter() - t_setup
+
+    x_map = mala._ravel(p_map)
+    unravel = mala._unravel_fn(p_map)
+    d = x_map.shape[0]
+
+    # Chains start near the MAP with 0.3x Laplace jitter (NOT full 1x
+    # draws: at field scale the prior-dominated soft subspace is nonlinear
+    # enough that full-sd wiggles land at logpost ~ -1e6 — api.py mala
+    # path, measured on 64^3). The bench measures steady-state mixing; MH
+    # exactness does not depend on init.
+    def init(key):
+        xi = jax.random.normal(key, (d,), jnp.float32)
+        return unravel(x_map + 0.3 * (L @ xi))
+
+    states = mala.init_states(post_g.logpost, init, jax.random.PRNGKey(0),
+                              n_chains)
+    hyper = mala.prime_covariance(
+        mala.init_hyper(post_g.prior_scales, eps0, p_map), cov)
+    kernel = mala.make_kernel(post_g.logpost)
+    adapter = mala.make_adapter(adapt_cov=False)
+
+    (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda p: p.u)
+    eps = float(np.exp(np.asarray(hyper.log_step)))
+    return summarize("mala", wall, n_steps, n_chains, samples, lp,
+                     {"accept": round(float(np.mean(acc)), 3),
+                      "step_size": round(eps, 4), "grads_per_step": 1,
+                      "laplace_setup_wall_s": round(setup_wall, 1),
+                      "map_logpost": round(float(trace[-1]), 1),
+                      "step_wall_s": round(per_step, 3)})
+
+
+def run_am_full(post, post_g, n_chains=16, n_warmup=60, n_steps=600,
+                thin=2, n_map_steps=150):
+    """Full-covariance Haario AM at the flagship 1728-dim shape (VERDICT
+    r2 #2's other half): the proposal covariance is PRIMED with the
+    Laplace/GN covariance (learning it from history needs > 2d pooled
+    samples — hours at this shape), so this measures the gradient-FREE
+    full-covariance kernel: 1 forward likelihood/step, 0.234-target RWM
+    scaling."""
+    from mceik_tpu.model.laplace import laplace_preconditioner
+    from mceik_tpu.samplers import am_full, mala
+    from mceik_tpu.samplers.base import MHState
+
+    t_setup = time.perf_counter()
+    p_map, cov, _ = laplace_preconditioner(post_g, n_map_steps=n_map_steps)
+    cov_np = np.asarray(cov, np.float64)
+    cov_np = 0.5 * (cov_np + cov_np.T)
+    cov_np += (1e-9 * np.trace(cov_np) / cov_np.shape[0]) * np.eye(
+        cov_np.shape[0])
+    L = jnp.asarray(np.linalg.cholesky(cov_np), jnp.float32)
+    setup_wall = time.perf_counter() - t_setup
+
+    x_map = mala._ravel(p_map)
+    unravel = mala._unravel_fn(p_map)
+
+    def init(key):
+        # 0.3x Laplace jitter (see run_mala's note on full 1x draws).
+        xi = jax.random.normal(key, x_map.shape, x_map.dtype)
+        return unravel(x_map + 0.3 * (L @ xi))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    params = jax.vmap(init)(keys)
+    logpost = jax.vmap(post.logpost)(params)
+    states = MHState(params=params, logpost=logpost)
+    hyper = mala.prime_covariance(
+        am_full.init_hyper(post.prior_scales, 1.0, p_map), cov)
+    kernel = am_full.make_kernel(post.logpost)
+    # Step-size-only adaptation (covariance pinned, same rationale as
+    # mala.make_adapter(adapt_cov=False)): reuse MALA's adapter with the
+    # RWM-optimal target — hyper layout (AMFullHyper) is shared.
+    adapter = mala.make_adapter(target_accept=0.234, adapt_cov=False)
+
+    (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda p: p.u)
+    return summarize("am_full", wall, n_steps, n_chains, samples, lp,
+                     {"accept": round(float(np.mean(acc)), 3),
+                      "laplace_setup_wall_s": round(setup_wall, 1),
+                      "step_wall_s": round(per_step, 3), "thin": thin})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samplers", default="am,hmc,nuts")
@@ -254,6 +358,17 @@ def main():
         run_am(post, n_chains=args.n_chains,
                n_warmup=(50 if q else 300), n_steps=(60 if q else 600),
                thin=2)
+    if "mala" in names:
+        post_g, _ = build(differentiable=True)
+        run_mala(post_g, n_chains=args.n_chains,
+                 n_warmup=(10 if q else 40), n_steps=(20 if q else 300),
+                 n_map_steps=(40 if q else 150))
+    if "am_full" in names:
+        post, _ = build(differentiable=False)
+        post_g, _ = build(differentiable=True)
+        run_am_full(post, post_g, n_chains=args.n_chains,
+                    n_warmup=(10 if q else 60), n_steps=(30 if q else 600),
+                    n_map_steps=(40 if q else 150))
     if "hmc" in names or "nuts" in names:
         post_cheap, _ = build(differentiable=False)
         mass = prime_mass(post_cheap, n_chains=args.n_chains,
