@@ -8,13 +8,21 @@ JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline value is the best measured ESS(logpost)/s across kernels
-(MALA, whose Gauss-Newton-preconditioned whitened proposal mixes the
-1728-dim field near-iid at one gradient/step). Per-cell slowness ESS/s —
-the statistic the posterior-moments criterion actually feels — rides in
-"extra" for every kernel. There are no published reference numbers
-(reference mount empty, see BASELINE.md); ``vs_baseline`` tracks our own
-round-1 headline so the driver sees round-over-round movement.
+HEADLINE POLICY (single definition — code below follows it exactly;
+VERDICT r3 weak #1): the headline is the best ESS(logpost)/s across the
+measured kernels whose measurement window makes the ESS estimate
+trustworthy, defined as BOTH (a) >= 20 post-warmup draws per chain and
+(b) estimated ESS <= 0.8 x the total draw count (an estimate pinned at
+the window size is censored, not measured). Ineligible kernels are still
+reported in "extra" with an ``_eligible`` flag. Per-cell slowness ESS/s —
+the statistic the posterior-moments criterion actually feels — also rides
+in "extra" for every kernel, but per-cell ESS in these short windows sits
+at the Geyer estimator floor (~n_chains/2 per cell) for every kernel at
+inv=12^3; the long-window per-cell measurements live in BASELINE.md
+(tools/gradient_sampler_bench.py), not here. There are no published
+reference numbers (reference mount empty, see BASELINE.md);
+``vs_baseline`` tracks our own round-1 headline so the driver sees
+round-over-round movement.
 
 EVERY device execution here is chunked under ~20 s: single executions
 beyond ~60 s die with "TPU device error" through the axon tunnel
@@ -43,19 +51,29 @@ def sample_chunked(run_mcmc, kernel, states, hyper, key, n_steps, chunk,
     """Post-warmup sampling in <=chunk-step executions; returns
     (states, samples, lp_trace, acc_trace, wall_s, welford).
 
-    The FIRST chunk is excluded from the wall clock (it compiles the
-    sampling graph — remote-compile latency through the axon tunnel
-    varies by tens of seconds run-to-run and must not contaminate the
-    throughput number) but its draws still count toward the traces, so
-    ESS/s uses the timed chunks' wall with the timed chunks' draws."""
+    The FIRST chunk is excluded from BOTH the wall clock and the traces
+    (it compiles the sampling graph — remote-compile latency through the
+    axon tunnel varies by tens of seconds run-to-run and must not
+    contaminate the throughput number — and serves as extra burn-in), so
+    ESS/s uses the timed chunks' wall with the timed chunks' draws. The
+    Welford accumulator is threaded ACROSS chunks so the returned moments
+    cover the whole window, not just the last chunk (ADVICE r3); it is
+    passed from chunk 0 onward with an identical pytree structure every
+    call, so run_mcmc compiles exactly once (a None->Welford switch
+    mid-loop would retrace inside a timed chunk)."""
+    from mceik_tpu.diag.moments import welford_init
+
     samples, lps, accs = [], [], []
     wall = 0.0
-    welford = None
+    n_chains = states.logpost.shape[0]
+    welford = welford_init(
+        jax.tree.map(lambda x: x[0], states.params), batch_shape=(n_chains,))
     for i in range(1 + -(-n_steps // chunk)):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         r = run_mcmc(kernel, None, states, hyper, sub, n_warmup=0,
-                     n_steps=chunk, collect_fn=collect_fn)
+                     n_steps=chunk, collect_fn=collect_fn,
+                     init_welford=welford)
         jax.block_until_ready(r.logpost_trace)
         if i > 0:
             wall += time.perf_counter() - t0
@@ -105,9 +123,13 @@ def main():
                   n_warmup=50, n_steps=1)
     jax.block_until_ready(r0.logpost_trace)
 
+    # 300 timed draws/chain: at tau_lp ~ 50-70 the 150-draw window used
+    # through r3 holds only ~2.5 tau per chain and its Geyer ESS estimate
+    # swung the headline by +-30% run-to-run; 300 draws costs ~22 s more
+    # wall and halves that variance.
     (_, asamples, lp, _, wall_am, am_welford) = sample_chunked(
         run_mcmc, kernel, r0.states, r0.hyper, jax.random.PRNGKey(3),
-        n_steps=150, chunk=50, collect_fn=lambda p: p.u)
+        n_steps=300, chunk=50, collect_fn=lambda p: p.u)
     steps_s_am = lp.shape[0] * n_chains / wall_am
     ess_lp_am = ess(lp)
     cell_am = ess_per_param(asamples)
@@ -185,14 +207,26 @@ def main():
         gstates, ghyper = g0.states, g0.hyper
     ghyper = hmc.finalize(ghyper)
 
+    # 21 draws/chain (7 x 3-step chunks, each ~20 s < the 60 s tunnel
+    # kill) — the minimum window that makes NUTS headline-eligible under
+    # the policy above; r3's 6-draw window produced an ESS estimate at
+    # ~0.8x the window and was (rightly, but silently) excluded.
     (_, gsamples, glp, gacc, wall_g, _) = sample_chunked(
         run_mcmc, gkernel, gstates, ghyper, jax.random.PRNGKey(6),
-        n_steps=6, chunk=2, collect_fn=lambda p: p.u)
+        n_steps=21, chunk=3, collect_fn=lambda p: p.u)
     eff_nuts = ess(glp) / wall_g
     cell_nuts = ess_per_param(gsamples)
     steps_s_nuts = glp.shape[0] * n_chains / wall_g
 
-    value = max(eff_am, eff_mala)
+    # --- headline: the policy stated in the module docstring -------------
+    def eligible(lp_trace):
+        n_draw_chain, n_tot = lp_trace.shape[0], lp_trace.size
+        return n_draw_chain >= 20 and ess(lp_trace) <= 0.8 * n_tot
+
+    candidates = {"am": (eff_am, eligible(lp)),
+                  "mala": (eff_mala, eligible(mlp)),
+                  "nuts": (eff_nuts, eligible(glp))}
+    value = max([v for v, ok in candidates.values() if ok] or [eff_am])
     vs = value / BASELINE_EFF_PER_S
     print(json.dumps({
         "metric": "eff_samples_per_s_chip_3d_checkerboard64",
@@ -215,6 +249,9 @@ def main():
             "nuts_chain_steps_per_s": round(steps_s_nuts, 3),
             "nuts_ess_cell_min_per_s": round(float(cell_nuts.min()) / wall_g, 4),
             "nuts_ess_cell_med_per_s": round(float(np.median(cell_nuts)) / wall_g, 4),
+            "am_eligible": candidates["am"][1],
+            "mala_eligible": candidates["mala"][1],
+            "nuts_eligible": candidates["nuts"][1],
             "wall_s_am": round(wall_am, 3),
             "wall_s_mala": round(wall_m, 3),
             "wall_s_nuts": round(wall_g, 3),

@@ -57,12 +57,19 @@ class RunSummary:
     ess_param_median: float = float("nan")
 
 
-def _dispatch_sampler(scfg, posterior):
+def _dispatch_sampler(scfg, posterior, resuming: bool = False):
     """Returns (kernel, adapter, hyper, finalize_fn, state_logpost_fn,
     make_states) — make_states is None for plain-MHState samplers, else a
     ``(key, n_chains) -> states`` builder (MALA carries cached gradients
     and, when Laplace-preconditioned, initializes chains overdispersed
-    around the MAP)."""
+    around the MAP).
+
+    ``resuming``: the run will restore (states, hyper) from a checkpoint,
+    so expensive setup whose product lives INSIDE those pytrees is
+    skipped — specifically the Laplace/GN preconditioner (its pinned
+    covariance is in the MALA hyper's count/m2 and its MAP-jittered init
+    is irrelevant to restored chains). This is what amortizes the ~60 s
+    flagship Laplace setup across segments/resumes (VERDICT r3 #8)."""
     scales = posterior.prior_scales
     example = posterior.init_params(jax.random.PRNGKey(0))
     lp = posterior.logpost
@@ -127,7 +134,11 @@ def _dispatch_sampler(scfg, posterior):
         adapt_cov = True
         make_states = lambda key, n: mala_mod.init_states(
             lp, posterior.init_params, key, n)
-        if scfg.precondition == "laplace":
+        if scfg.precondition == "laplace" and resuming:
+            # Structure-compatible placeholder hyper; the checkpoint's
+            # restored hyper carries the real pinned covariance.
+            adapt_cov = False
+        elif scfg.precondition == "laplace":
             from mceik_tpu.model.laplace import laplace_preconditioner
             p_map, cov, _ = laplace_preconditioner(
                 posterior, n_map_steps=scfg.n_map_steps)
@@ -228,7 +239,8 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
                                 differentiable=differentiable)
 
     kernel, adapter, hyper, finalize_fn, state_lp, make_states = \
-        _dispatch_sampler(config.sampler, posterior)
+        _dispatch_sampler(config.sampler, posterior,
+                          resuming=bool(config.io.resume))
     base_kernel = kernel
     if posterior.noise_gibbs is not None:
         if config.sampler.algorithm == "pcn":

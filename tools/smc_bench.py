@@ -15,6 +15,7 @@ Usage: python tools/smc_bench.py [--config configs/c4_smc.json]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -38,8 +39,10 @@ def main():
 
     cfg = load_config(args.config)
     if args.n_particles:
-        cfg = cfg.replace(sampler=cfg.sampler.replace(
-            n_particles=args.n_particles))
+        # RunConfig/SamplerCfg are plain frozen dataclasses (no .replace
+        # method) — use dataclasses.replace (ADVICE r3, medium).
+        cfg = dataclasses.replace(cfg, sampler=dataclasses.replace(
+            cfg.sampler, n_particles=args.n_particles))
 
     print(json.dumps({"device": str(jax.devices()[0]),
                       "n_particles": cfg.sampler.n_particles,
