@@ -22,6 +22,7 @@ CHECK_BUDGET = {
     # name: (seed, n_warmup, n_steps)
     "c1_small": (31, 300, 2500),
     "c2_small": (32, 300, 2500),
+    "c3_joint_small": (33, 300, 2500),
 }
 
 
@@ -47,7 +48,9 @@ def test_golden_moments(name):
     # inversion basis can represent the truth (c1_small). c2_small's 3^3
     # basis cannot represent the 2-lobe checkerboard by construction —
     # its 3-D recovery criterion lives in tests/test_recovery3d.py.
-    RECOVERY_MIN = {"c1_small": 0.5, "c2_small": None}
+    # c3_joint_small tracks the full flat params (u + hypo_raw), so the
+    # slowness-only recovery correlation does not apply either.
+    RECOVERY_MIN = {"c1_small": 0.5, "c2_small": None, "c3_joint_small": None}
     if RECOVERY_MIN[name] is not None:
         corr = recovery_corr(name, stats["mean"])
         assert corr > RECOVERY_MIN[name], f"{name}: recovery_corr={corr:.3f}"

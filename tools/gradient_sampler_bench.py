@@ -346,6 +346,14 @@ def main():
     ap.add_argument("--n-chains", type=int, default=16)
     ap.add_argument("--n-leapfrog", type=int, default=8)
     ap.add_argument("--max-tree-depth", type=int, default=4)
+    # MALA warmup/window overrides: the 2026-08-20 run showed the default
+    # 40-step warmup freezes the RM step size mid-collapse (init-transient
+    # rejections drive eps 0.3 -> 0.029 before recovery; sampling then
+    # runs with no adapter), pinning tau in the thousands. A long warmup
+    # lets eps reach its 0.574-acceptance equilibrium before the timed
+    # window.
+    ap.add_argument("--mala-warmup", type=int, default=None)
+    ap.add_argument("--mala-steps", type=int, default=None)
     args = ap.parse_args()
     q = args.quick
 
@@ -361,7 +369,8 @@ def main():
     if "mala" in names:
         post_g, _ = build(differentiable=True)
         run_mala(post_g, n_chains=args.n_chains,
-                 n_warmup=(10 if q else 40), n_steps=(20 if q else 300),
+                 n_warmup=(args.mala_warmup or (10 if q else 40)),
+                 n_steps=(args.mala_steps or (20 if q else 300)),
                  n_map_steps=(40 if q else 150))
     if "am_full" in names:
         post, _ = build(differentiable=False)
