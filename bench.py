@@ -14,7 +14,12 @@ measured kernels whose measurement window makes the ESS estimate
 trustworthy, defined as BOTH (a) >= 20 post-warmup draws per chain and
 (b) estimated ESS <= 0.8 x the total draw count (an estimate pinned at
 the window size is censored, not measured). Ineligible kernels are still
-reported in "extra" with an ``_eligible`` flag. Per-cell slowness ESS/s —
+reported in "extra" with an ``_eligible`` flag. Each kernel's ESS is
+computed over the SAME window length the locked baseline used (AM: 150
+draws/chain) — Geyer ESS is truncation-limited, so window length is part
+of the metric's definition and mixing window sizes would fabricate
+movement (extras carry am_eff_long for the 300-draw value). Per-cell
+slowness ESS/s —
 the statistic the posterior-moments criterion actually feels — also rides
 in "extra" for every kernel, but per-cell ESS in these short windows sits
 at the Geyer estimator floor (~n_chains/2 per cell) for every kernel at
@@ -123,17 +128,25 @@ def main():
                   n_warmup=50, n_steps=1)
     jax.block_until_ready(r0.logpost_trace)
 
-    # 300 timed draws/chain: at tau_lp ~ 50-70 the 150-draw window used
-    # through r3 holds only ~2.5 tau per chain and its Geyer ESS estimate
-    # swung the headline by +-30% run-to-run; 300 draws costs ~22 s more
-    # wall and halves that variance.
+    # 300 timed draws/chain, but the HEADLINE uses the first 150 (and
+    # their wall) — like-for-like with the locked 1.70 baseline, which was
+    # measured with the same 150-draw procedure. Geyer ESS at these
+    # windows is truncation-limited: the 300-draw estimate sees more of
+    # the autocorrelation tail and reads systematically lower ESS/s
+    # (measured 2026-08-21: tau_lp ~68 at 150 draws vs ~107 at 300), so
+    # comparing a long-window number against the short-window baseline
+    # would fabricate a regression. The honest long-window value rides in
+    # extras as am_eff_long.
     (_, asamples, lp, _, wall_am, am_welford) = sample_chunked(
         run_mcmc, kernel, r0.states, r0.hyper, jax.random.PRNGKey(3),
         n_steps=300, chunk=50, collect_fn=lambda p: p.u)
     steps_s_am = lp.shape[0] * n_chains / wall_am
-    ess_lp_am = ess(lp)
+    lp150 = lp[:150]
+    wall_am150 = wall_am * (150 / lp.shape[0])
+    ess_lp_am = ess(lp150)
     cell_am = ess_per_param(asamples)
-    eff_am = ess_lp_am / wall_am
+    eff_am = ess_lp_am / wall_am150
+    eff_am_long = ess(lp) / wall_am
 
     # --- MALA: Laplace/Gauss-Newton preconditioner, 1 gradient/step ------
     # (VERDICT r2 #2: the full-covariance remedy for per-cell ESS at the
@@ -218,12 +231,41 @@ def main():
     cell_nuts = ess_per_param(gsamples)
     steps_s_nuts = glp.shape[0] * n_chains / wall_g
 
+    # --- SMC extras leg (config-4 workload, reduced): mutation throughput
+    # tracked round-over-round; the full 10k-particle ladder-to-beta=1
+    # number lives in BASELINE.md (tools/smc_bench.py). Guarded: an SMC
+    # failure must degrade the extras, never the headline (r3's rc!=0
+    # lesson).
+    smc_extra = {}
+    try:
+        from mceik_tpu.io.config_io import load_config
+        from mceik_tpu.samplers.smc import run_smc_config
+        import dataclasses as _dc
+
+        c4 = load_config("configs/c4_smc.json")
+        c4 = _dc.replace(c4, sampler=_dc.replace(c4.sampler,
+                                                 n_particles=4096))
+        t0 = time.perf_counter()
+        sr = run_smc_config(c4, verbose=False, max_stages=12)
+        wall_smc = time.perf_counter() - t0
+        n_mut = 4096 * c4.sampler.n_mutation_steps * sr.n_stages
+        smc_extra = {
+            "smc_particle_mutation_steps_per_s": round(n_mut / wall_smc, 0),
+            "smc_n_stages": sr.n_stages,
+            "smc_beta_reached": round(float(sr.betas[-1]), 4),
+            "smc_mean_accept": round(sum(sr.accept_history)
+                                     / max(len(sr.accept_history), 1), 3),
+            "wall_s_smc": round(wall_smc, 3),
+        }
+    except Exception as e:  # noqa: BLE001 — extras must not kill the bench
+        smc_extra = {"smc_error": repr(e)[:200]}
+
     # --- headline: the policy stated in the module docstring -------------
     def eligible(lp_trace):
         n_draw_chain, n_tot = lp_trace.shape[0], lp_trace.size
         return n_draw_chain >= 20 and ess(lp_trace) <= 0.8 * n_tot
 
-    candidates = {"am": (eff_am, eligible(lp)),
+    candidates = {"am": (eff_am, eligible(lp150)),
                   "mala": (eff_mala, eligible(mlp)),
                   "nuts": (eff_nuts, eligible(glp))}
     value = max([v for v, ok in candidates.values() if ok] or [eff_am])
@@ -235,6 +277,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "extra": {
             "am_eff_samples_per_s": round(eff_am, 4),
+            "am_eff_long": round(eff_am_long, 4),
             "am_chain_steps_per_s": round(steps_s_am, 3),
             "am_vs_r1_steps_baseline": round(steps_s_am / BASELINE_STEPS, 3),
             "am_ess_cell_min_per_s": round(float(cell_am.min()) / wall_am, 4),
@@ -245,6 +288,10 @@ def main():
             "mala_ess_cell_med_per_s": round(float(np.median(cell_mala)) / wall_m, 4),
             "mala_accept": round(float(macc.mean()), 3),
             "mala_laplace_setup_wall_s": round(setup_wall, 1),
+            # Honesty at short run lengths (VERDICT r3 #8): ESS/s with the
+            # one-time Laplace setup amortized INTO this window's wall.
+            "mala_eff_incl_setup": round(
+                ess(mlp) / (wall_m + setup_wall), 4),
             "nuts_eff_samples_per_s": round(eff_nuts, 4),
             "nuts_chain_steps_per_s": round(steps_s_nuts, 3),
             "nuts_ess_cell_min_per_s": round(float(cell_nuts.min()) / wall_g, 4),
@@ -257,6 +304,7 @@ def main():
             "wall_s_nuts": round(wall_g, 3),
             "n_chains": n_chains,
             "device": str(jax.devices()[0]),
+            **smc_extra,
         },
     }))
 

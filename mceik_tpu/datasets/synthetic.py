@@ -182,6 +182,40 @@ def events_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
     return EventData(sta_xyz=sta, t_obs=t_obs), s_true, hypo, t0
 
 
+def events_volume_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
+                          eik: EikonalConfig = EikonalConfig()):
+    """Joint problem (config-3-shaped) with VOLUME acquisition: stations on
+    the free surface PLUS two side faces (volume3d_geometry's receiver
+    distribution) observing interior earthquakes.
+
+    Rationale (same as checkerboard3d_volume vs the face-to-face
+    geometry): the surface-only net of events_dataset leaves the classic
+    depth-velocity trade-off ridge — with t0 marginalized, event depth and
+    slowness along the path are near-exchangeable, and the joint posterior
+    acquires directions with autocorrelation times in the thousands for
+    ANY fixed-preconditioner local kernel (measured 2026-08-21: GN-MALA at
+    eps 0.21/accept 0.47 still had per-cell ESS at the n_chains/2 floor on
+    the 27-dim golden problem). Multi-face stations see events from the
+    side, closing the ridge — required for the golden z-test harness,
+    whose check runs must actually mix within a CI budget."""
+    s_true = checkerboard_slowness(grid, dcfg.checker_cells,
+                                   dcfg.checker_amplitude,
+                                   mcfg.background_slowness)
+    _, sta = volume3d_geometry(grid, 1, dcfg.n_stations, dcfg.seed)
+    rng = np.random.default_rng(dcfg.seed + 1)
+    lo = np.asarray(grid.origin)
+    ext = np.asarray(grid.extent)
+    hypo = jnp.asarray(
+        lo + ext * (0.2 + 0.6 * rng.random((dcfg.n_events, grid.ndim))),
+        jnp.float32)
+    t0 = jnp.asarray(0.2 * rng.standard_normal(dcfg.n_events), jnp.float32)
+    tables = traveltime_tables(s_true, sta, grid, eik)
+    t_clean = predict_events(tables, hypo, t0, grid)
+    key = jax.random.PRNGKey(dcfg.seed + 2)
+    t_obs = t_clean + dcfg.noise * jax.random.normal(key, t_clean.shape)
+    return EventData(sta_xyz=sta, t_obs=t_obs), s_true, hypo, t0
+
+
 def make_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
                  eik: EikonalConfig = EikonalConfig()):
     """Dispatch on DataCfg.dataset; returns (data, truth_dict).
@@ -218,5 +252,8 @@ def make_dataset(grid: Grid, dcfg: DataCfg, mcfg: ModelCfg,
         return data, {"slowness": s_true}
     if dcfg.dataset == "events3d":
         data, s_true, hypo, t0 = events_dataset(grid, dcfg, mcfg, eik)
+        return data, {"slowness": s_true, "hypo": hypo, "t0": t0}
+    if dcfg.dataset == "events3d_volume":
+        data, s_true, hypo, t0 = events_volume_dataset(grid, dcfg, mcfg, eik)
         return data, {"slowness": s_true, "hypo": hypo, "t0": t0}
     raise ValueError(f"unknown dataset {dcfg.dataset!r}")

@@ -65,6 +65,16 @@ PROBLEMS = {
     # path (tables-of-u + hypocenter interpolation + exact weighted t0
     # marginalization). The tracked vector is the FULL active flat params
     # (u cells then hypo_raw), so drift in either block fails CI.
+    #
+    # Acquisition + kernel (2026-08-21, probed): the r3 definition
+    # (surface-only stations, am_full with bootstrapped proposal) does NOT
+    # mix — depth-velocity trade-off ridges leave per-cell ESS ~ 5 of 48k
+    # draws, the truncation-biased se then makes the z-test fire on pure
+    # sampler noise (the r3 red tier). Volume acquisition
+    # (events3d_volume: stations on 3 faces) closes the worst ridges, and
+    # the Laplace/GN-preconditioned MALA kernel (kernel: "mala") mixes it
+    # at eps~0.5, min/med per-cell ESS ~6/60 per 8k draws — so long runs
+    # reach valid MC error bars where am_full never equilibrated at all.
     "c3_joint_small": {
         "grid": {"shape": [12, 12, 10], "spacing": [1.0, 1.0, 1.0]},
         "eikonal": {"method": "sweep", "tol": 1e-3, "max_iters": 30,
@@ -72,9 +82,15 @@ PROBLEMS = {
         "model": {"mode": "joint", "inv_shape": [3, 3, 2],
                   "background_slowness": 1.0, "prior_sigma_u": 0.15,
                   "sigma": 0.04, "marginalize_t0": True},
-        "data": {"dataset": "events3d", "n_events": 3, "n_stations": 8,
-                 "noise": 0.04, "seed": 79, "checker_cells": [2, 2, 2],
-                 "checker_amplitude": 0.08},
+        "data": {"dataset": "events3d_volume", "n_events": 3,
+                 "n_stations": 12, "noise": 0.04, "seed": 79,
+                 "checker_cells": [2, 2, 2], "checker_amplitude": 0.08},
+        "kernel": "mala",
+        # Golden-generation budget override: the slowest ridge direction
+        # has tau ~ 1.4k, so 9k steps x 8 chains puts every cell's golden
+        # ESS >= ~50 (valid se) at ~40 CPU-minutes — the am_full default
+        # budget would cost hours here for no extra benefit.
+        "golden_n_steps": 9000, "golden_thin": 3,
     },
 }
 
@@ -97,7 +113,8 @@ def _build(name, return_truth: bool = False):
                       for k, v in spec["data"].items()})
     ecfg = EikonalCfg(**spec["eikonal"])
     data, truth = make_dataset(grid, dcfg, mcfg)
-    post = build_posterior(mcfg, data, grid, ecfg)
+    post = build_posterior(mcfg, data, grid, ecfg,
+                           differentiable=(spec.get("kernel") == "mala"))
     if return_truth:
         return post, truth["slowness"]
     return post
@@ -147,6 +164,10 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
     from mceik_tpu.samplers import am_full
     from mceik_tpu.samplers.am_full import _ravel
     from mceik_tpu.samplers.base import init_chain_states, run_mcmc
+
+    if PROBLEMS[name].get("kernel") == "mala":
+        return _run_problem_mala(name, seed, n_warmup, n_steps, thin,
+                                 proposal)
 
     post = _build(name)
     n_chains = 8
@@ -198,6 +219,74 @@ def run_problem(name: str, seed: int, n_warmup: int, n_steps: int,
             "proposal": final_proposal, "post_cov": post_cov}
 
 
+def _run_problem_mala(name: str, seed: int, n_warmup: int, n_steps: int,
+                      thin: int = 2, proposal: dict = None):
+    """MALA leg of run_problem for problems with kernel="mala": the
+    Laplace/Gauss-Newton covariance (model/laplace.py) is the proposal
+    preconditioner — no bootstrap chicken-and-egg — and chains start
+    MAP-jittered. Golden generation (proposal=None) computes MAP+cov and
+    stores both in the artifact's proposal dict (cov, log_step, x_map);
+    check runs reuse them exactly, so the CI leg pays no Laplace setup
+    and is deterministic end-to-end."""
+    from mceik_tpu.diag.ess import ess_per_param
+    from mceik_tpu.samplers import mala
+    from mceik_tpu.samplers.base import run_mcmc
+
+    post = _build(name)
+    n_chains = 8
+    if proposal is None:
+        from mceik_tpu.model.laplace import laplace_preconditioner
+        p_map, cov, _ = laplace_preconditioner(post, n_map_steps=150)
+        cov = np.asarray(cov, np.float64)
+        log_step = float(np.log(0.5))
+        x_map = np.asarray(mala._ravel(p_map), np.float64)
+    else:
+        cov = np.asarray(proposal["cov"], np.float64)
+        log_step = float(proposal["log_step"])
+        x_map = np.asarray(proposal["x_map"], np.float64)
+
+    cov = 0.5 * (cov + cov.T)
+    cov += (1e-9 * np.trace(cov) / cov.shape[0]) * np.eye(cov.shape[0])
+    L = jnp_asarray(np.linalg.cholesky(cov))
+    x_map_j = jnp_asarray(x_map)
+    example = post.init_params(jax.random.PRNGKey(seed + 1))
+    unravel = mala._unravel_fn(example)
+
+    def init(key):
+        import jax.numpy as jnp
+        xi = jax.random.normal(key, x_map_j.shape, jnp.float32)
+        return unravel(x_map_j + 0.3 * (L @ xi))
+
+    states = mala.init_states(post.logpost, init, jax.random.PRNGKey(seed),
+                              n_chains)
+    hyper = mala.prime_covariance(
+        mala.init_hyper(post.prior_scales, 1.0, example),
+        jnp_asarray(cov), log_step=log_step)
+    kernel = mala.make_kernel(post.logpost)
+    adapter = mala.make_adapter(adapt_cov=False)
+
+    r = run_mcmc(kernel, adapter, states, hyper,
+                 jax.random.PRNGKey(seed + 2), n_warmup=n_warmup,
+                 n_steps=n_steps, thin=thin, collect_fn=mala._ravel)
+    flat = np.asarray(r.samples)
+    n_collect = flat.shape[0]
+    flat = flat.reshape(n_collect, n_chains, -1)
+    mean = flat.mean(axis=(0, 1))
+    var = flat.var(axis=(0, 1))
+    ess_ = ess_per_param(flat)
+    se = np.sqrt(var / np.maximum(ess_, 2.0))
+    final_proposal = {
+        "cov": cov,
+        "log_step": float(np.asarray(r.hyper.log_step)),
+        "x_map": x_map,
+    }
+    X = flat.reshape(-1, flat.shape[-1]).astype(np.float64)
+    post_cov = np.cov(X.T) + 1e-8 * np.eye(X.shape[1])
+    return {"mean": mean, "var": var, "se": se, "ess": ess_,
+            "accept": float(np.mean(np.asarray(r.accept_trace))),
+            "proposal": final_proposal, "post_cov": post_cov}
+
+
 def make_golden(name: str, seed: int = 1000, n_warmup: int = 2000,
                 n_steps: int = 24000, thin: int = 4, out_dir: str = None):
     """Generate and write the committed golden artifact for ``name``.
@@ -209,12 +298,30 @@ def make_golden(name: str, seed: int = 1000, n_warmup: int = 2000,
     covariance and mixing stays poor without this. The final long round
     uses the settled proposal, which is stored in the artifact so the CI
     check reuses exactly the proposal that produced the golden moments."""
-    warm = run_problem(name, seed, n_warmup, max(n_steps // 8, 500), thin=2)
-    prop = {"cov": warm["post_cov"], "log_step": 0.0}
-    boot = run_problem(name, seed + 250, 400, max(n_steps // 4, 1000),
-                       thin=2, proposal=prop)
-    prop = {"cov": boot["post_cov"], "log_step": 0.0}
-    stats = run_problem(name, seed + 500, 500, n_steps, thin, proposal=prop)
+    n_steps = PROBLEMS[name].get("golden_n_steps", n_steps)
+    thin = PROBLEMS[name].get("golden_thin", thin)
+    if PROBLEMS[name].get("kernel") == "mala":
+        # No bootstrap chicken-and-egg: the Laplace/GN covariance is the
+        # proposal from step one; a single long run generates the golden.
+        stats = run_problem(name, seed + 500, 500, n_steps, thin)
+        prop_store = {
+            "cov": np.asarray(stats["proposal"]["cov"]).tolist(),
+            "log_step": float(stats["proposal"]["log_step"]),
+            "x_map": np.asarray(stats["proposal"]["x_map"]).tolist(),
+        }
+    else:
+        warm = run_problem(name, seed, n_warmup, max(n_steps // 8, 500),
+                           thin=2)
+        prop = {"cov": warm["post_cov"], "log_step": 0.0}
+        boot = run_problem(name, seed + 250, 400, max(n_steps // 4, 1000),
+                           thin=2, proposal=prop)
+        prop = {"cov": boot["post_cov"], "log_step": 0.0}
+        stats = run_problem(name, seed + 500, 500, n_steps, thin,
+                            proposal=prop)
+        prop_store = {
+            "cov": np.asarray(prop["cov"]).tolist(),
+            "log_step": float(stats["proposal"]["log_step"]),
+        }
     artifact = {
         "problem": name,
         "spec": PROBLEMS[name],
@@ -225,10 +332,7 @@ def make_golden(name: str, seed: int = 1000, n_warmup: int = 2000,
         "se": stats["se"].tolist(),
         "ess": [round(float(e), 1) for e in stats["ess"]],
         "accept": round(stats["accept"], 4),
-        "proposal": {
-            "cov": np.asarray(prop["cov"]).tolist(),
-            "log_step": float(stats["proposal"]["log_step"]),
-        },
+        "proposal": prop_store,
     }
     out_dir = out_dir or GOLDEN_DIR
     os.makedirs(out_dir, exist_ok=True)

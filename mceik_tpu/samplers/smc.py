@@ -274,12 +274,17 @@ def run_smc(posterior, key, n_particles: int, n_mutation_steps: int = 5,
                      n_stages=stage)
 
 
-def run_smc_config(config, verbose: bool = True) -> SMCResult:
+def run_smc_config(config, verbose: bool = True,
+                   max_stages: int = 200) -> SMCResult:
     """CLI entry: build the posterior from a RunConfig and run SMC.
 
     Production sharding path (config 4): when more than one device is
     visible (or DistCfg.n_devices caps it) and the particle count divides,
     the population is sharded over the chains mesh.
+
+    max_stages: ladder cap passed through to run_smc — benchmarks use a
+    small cap to measure mutation throughput without walking the full
+    ladder to beta=1.
     """
     from mceik_tpu.datasets import make_dataset
     from mceik_tpu.dist.mesh import chain_mesh, init_distributed
@@ -299,6 +304,7 @@ def run_smc_config(config, verbose: bool = True) -> SMCResult:
                      n_mutation_steps=scfg.n_mutation_steps,
                      ess_threshold=scfg.ess_threshold,
                      step_size=scfg.step_size, verbose=verbose,
+                     max_stages=max_stages,
                      mesh=mesh, shard_axis=config.dist.chain_axis,
                      checkpoint_path=config.io.checkpoint_path,
                      resume=config.io.resume)
