@@ -212,8 +212,12 @@ def main():
     # mass_start) is what makes the AM-estimated variances stick.
     ghyper = ghyper.replace(inv_mass=var, welford=w)
     gkernel = nuts.make_kernel(post_g.logpost, max_tree_depth=4)
+    # Adapter constructed ONCE: run_mcmc jits with adapt_fn STATIC, so a
+    # fresh make_adapter() closure per chunk would recompile the whole
+    # warmup program every chunk (~minutes each through the tunnel).
+    gadapter = hmc.make_adapter(0.8)
     for i in range(3):                       # 3 x 2-step warmup chunks
-        g0 = run_mcmc(gkernel, hmc.make_adapter(0.8), gstates, ghyper,
+        g0 = run_mcmc(gkernel, gadapter, gstates, ghyper,
                       jax.random.PRNGKey(5 + i), n_warmup=2, n_steps=1,
                       t0_offset=2 * i)
         jax.block_until_ready(g0.logpost_trace)

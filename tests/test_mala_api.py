@@ -35,6 +35,7 @@ def _small_mala_config(**sampler_overrides):
         sampler=sampler)
 
 
+@pytest.mark.slow
 def test_mala_laplace_run_end_to_end():
     cfg = _small_mala_config()
     summary = api.run(cfg, verbose=False)
@@ -60,6 +61,7 @@ def test_mala_rejects_spike_slab_noise():
         api.run(cfg, verbose=False)
 
 
+@pytest.mark.slow
 def test_mala_laplace_resume_skips_setup(tmp_path, monkeypatch):
     """Resume path (VERDICT r3 #8): the pinned GN covariance lives inside
     the checkpointed MALA hyper, so a resumed run must NOT recompute the
