@@ -142,6 +142,77 @@ def sweep_axis0(T, s, seed_floor, spacing, n_inner: int = 2,
     )(T, s, seed_floor)
 
 
+def _march_axis0_ref(ref, s_ref, f_ref, spacing, n_inner: int, n_seg: int):
+    """Bidirectional GS plane march along axis 0 of ``ref`` IN PLACE.
+    Body identical to _sweep_axis0_kernel's loops (kept separate so the
+    proven kernel stays untouched); uses the ``i >= 1`` spelling per the
+    platform fori-index comparison bug (docs/ARCHITECTURE.md)."""
+    n0 = ref.shape[0]
+    plane_shape = ref.shape[1:]
+    sp_swept = spacing[0]
+    sp_plane = tuple(spacing[1:])
+    big_plane = jnp.full(plane_shape, BIG, jnp.float32)
+
+    def update_plane_at(i):
+        prev = jnp.where(i >= 1, ref[jnp.maximum(i - 1, 0)], big_plane)
+        nxt = jnp.where(i <= n0 - 2, ref[jnp.minimum(i + 1, n0 - 1)],
+                        big_plane)
+        ref[i] = _plane_update(ref[i], prev, nxt, s_ref[i], f_ref[i],
+                               sp_swept, sp_plane, n_inner, n_seg)
+
+    def fwd_body(i, _):
+        update_plane_at(i)
+        return 0
+
+    def bwd_body(k, _):
+        update_plane_at(n0 - 1 - k)
+        return 0
+
+    lax.fori_loop(0, n0, fwd_body, 0)
+    lax.fori_loop(0, n0, bwd_body, 0)
+
+
+def _sweep_axes01_fused_kernel(T_ref, s0_ref, f0_ref, s1_ref, f1_ref,
+                               out_ref, *, spacing: Tuple[float, ...],
+                               n_inner: int, n_seg: int):
+    """FUSED axis-0 + axis-1 bidirectional sweeps in ONE pallas_call
+    (probe for the r4→r5 launch-gap lever, BASELINE.md 2026-08-21).
+
+    Packed layouts: axis-0 = (x, y, P*z), axis-1 = (y, x, P*z) — they
+    share the lane dim, so the in-kernel relayout between the two sweeps
+    is a leading-2D transpose that never crosses vector lanes. Requires
+    n0 == n1 (cubic grids: the two layouts then have identical shapes and
+    the march runs in out_ref in place). Input T_ref is axis-0 layout;
+    out_ref leaves in axis-1 layout (caller _repacks 1 -> 2 as usual).
+    """
+    assert T_ref.shape[0] == T_ref.shape[1], "fused01 kernel is cube-only"
+    sp0 = (spacing[0], spacing[1], spacing[2])
+    sp1 = (spacing[1], spacing[0], spacing[2])
+    out_ref[...] = T_ref[...]
+    _march_axis0_ref(out_ref, s0_ref, f0_ref, sp0, n_inner, n_seg)
+    out_ref[...] = jnp.transpose(out_ref[...], (1, 0, 2))
+    _march_axis0_ref(out_ref, s1_ref, f1_ref, sp1, n_inner, n_seg)
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
+                                              "interpret", "n_seg"))
+def sweep_axes01_fused(Tp, s0, f0, s1, f1, spacing, n_inner: int = 2,
+                       interpret: bool = False, n_seg: int = 1):
+    """One pallas_call doing the axis-0 AND axis-1 bidirectional sweeps
+    (cube-only probe; see _sweep_axes01_fused_kernel). ``Tp`` in packed
+    axis-0 layout; returns packed axis-1 layout. ``spacing`` is the full
+    original-order 3-tuple."""
+    kernel = functools.partial(_sweep_axes01_fused_kernel, spacing=spacing,
+                               n_inner=n_inner, n_seg=n_seg)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(Tp.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Tp, s0, f0, s1, f1)
+
+
 def sweep_cycle_pallas(T, s, seed_floor, spacing, n_inner: int = 2,
                        interpret: bool = False):
     """One full cycle: bidirectional sweeps along every axis (axis brought
@@ -264,8 +335,24 @@ def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
 
     ``s_packed``/``floor_packed`` are per-axis pre-packed operands (loop
     invariants of the outer fixed-point iteration — packed once per
-    solve)."""
+    solve).
+
+    When n_x == n_y the axis-0 and axis-1 sweeps run FUSED in one
+    pallas_call (sweep_axes01_fused): their packed layouts share the lane
+    dim, so the in-kernel relayout is a leading-2D transpose, and the
+    cycle drops from 3 launches to 2 — measured +6.2% on the full B=128
+    64^3 batch solve, bit-exact (tools/fused01_probe.py, BASELINE.md
+    2026-08-21)."""
     D = 3
+    if Tp.shape[0] == Tp.shape[1]:
+        Tp = sweep_axes01_fused(Tp, s_packed[0], floor_packed[0],
+                                s_packed[1], floor_packed[1], spacing,
+                                n_inner, interpret, n_seg=P)
+        Tp = _repack(Tp, P, 1, 2)
+        Tp = sweep_axis0(Tp, s_packed[2], floor_packed[2],
+                         (spacing[2], spacing[0], spacing[1]),
+                         n_inner, interpret, n_seg=P)
+        return _repack(Tp, P, 2, 0)
     for axis in range(D):
         perm = (axis,) + tuple(d for d in range(D) if d != axis)
         sp = tuple(spacing[p] for p in perm)

@@ -204,3 +204,34 @@ def test_gridbatch_done_block_passes_through_unswept():
     # and the sweep genuinely changed the active block (guard against a
     # vacuous pass where nothing sweeps at all)
     assert float(jnp.max(jnp.abs(out0[0] - Tb[0]))) > 1e-3
+
+
+def test_fused01_cycle_cubic_matches_singles():
+    """Cubic grids route the packed cycle through the FUSED axis-0+1
+    kernel (sweep_axes01_fused, 2 pallas_calls/cycle — BASELINE.md
+    2026-08-21); its fixed point must equal P independent single-field
+    solves, exactly like the 3-call cycle it replaces."""
+    from mceik_tpu.eikonal.pallas_sweep import (lane_pack_factor,
+                                                sweep_solve_pallas,
+                                                sweep_solve_pallas_packed)
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 16, 16), spacing=(1.0, 1.1, 0.9))
+    P = lane_pack_factor(grid.shape)
+    assert P == 8
+    key = jax.random.PRNGKey(17)
+    T0s, frs, ss = [], [], []
+    for i in range(P):
+        s = _smooth_random_slowness(jax.random.fold_in(key, i), grid)
+        src = jnp.asarray([2.0 + i, 7.0, 13.0 - i], jnp.float32)
+        T0, fr = seed_source(s, src, grid, 3.0)
+        T0s.append(T0), frs.append(fr), ss.append(s)
+    packed = sweep_solve_pallas_packed(
+        jnp.stack(T0s), jnp.stack(frs), jnp.stack(ss), grid.spacing,
+        tol=1e-5, max_cycles=60, interpret=True)
+    singles = jnp.stack([
+        sweep_solve_pallas(T0s[i], frs[i], ss[i], grid.spacing, tol=1e-5,
+                           max_cycles=60, interpret=True)
+        for i in range(P)])
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(singles),
+                               atol=1e-4)
