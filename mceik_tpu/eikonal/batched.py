@@ -32,12 +32,14 @@ from mceik_tpu.eikonal.solve import (EikonalConfig, _sweep_solve, _jacobi_solve,
 from mceik_tpu.grid import Grid
 
 
-# The axon/XLA:TPU backend MISCOMPILES the vmapped scan-based sweep at
-# batch >= 32 (verified by bisection: B in {8,16,24} bit-match the tight
-# reference, B in {32,64} return a deterministic wrong fixed point,
-# max err ~33 on a 64^3 medium; the jacobi method and CPU are unaffected).
-# Chunking the flat batch below that threshold sidesteps the bug.
-_SAFE_XLA_SWEEP_BATCH = 16
+# The axon/XLA:TPU backend MISCOMPILES the vmapped scan-based sweep above
+# a batch threshold (deterministic wrong fixed point, max err ~33 on a
+# 64^3 medium; the jacobi method and CPU are unaffected). The threshold
+# MOVED with a toolchain update: r1's bisection found {8,16,24} exact and
+# {32,64} wrong; re-bisected 2026-08-21 (tools/tpu_sanity.py caught it),
+# {4,8} are exact and {16} is wrong. Chunk at 8 — and keep tpu_sanity in
+# the round loop, since this is environment-version-dependent behavior.
+_SAFE_XLA_SWEEP_BATCH = 8
 
 
 def _flat_solve_xla(T0, frozen, s, grid, config):

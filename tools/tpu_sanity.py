@@ -68,9 +68,12 @@ def main():
         ("pallas-field", jax.jit(jax.vmap(jax.vmap(
             lambda ss, x: solve_eikonal(ss, x, grid, cfgP), (None, 0)),
             (0, None)))),
-        ("pallas-stream", jax.jit(jax.vmap(
+        # (a "pallas-stream" row existed through r3 but silently fell
+        # through to the XLA path: the stream kernel was deleted
+        # 2026-08-19 and batched.py has no such impl branch — removed)
+        ("pallas-gridbatch", jax.jit(jax.vmap(
             lambda ss: solve_eikonal_batched(ss, srcs, grid, cfg,
-                                             impl="stream")))),
+                                             impl="gridbatch")))),
         ("xla-jacobi", jax.jit(jax.vmap(
             lambda ss: solve_eikonal_batched(ss, srcs, grid, cfgJ,
                                              impl="xla")))),
