@@ -354,6 +354,10 @@ def main():
     # window.
     ap.add_argument("--mala-warmup", type=int, default=None)
     ap.add_argument("--mala-steps", type=int, default=None)
+    # Same RM-freeze question for am_full (its 2026-08-20 run ended at
+    # accept 0.144 vs the 0.234 target after a 60-step warmup).
+    ap.add_argument("--amfull-warmup", type=int, default=None)
+    ap.add_argument("--amfull-steps", type=int, default=None)
     args = ap.parse_args()
     q = args.quick
 
@@ -376,7 +380,8 @@ def main():
         post, _ = build(differentiable=False)
         post_g, _ = build(differentiable=True)
         run_am_full(post, post_g, n_chains=args.n_chains,
-                    n_warmup=(10 if q else 60), n_steps=(30 if q else 600),
+                    n_warmup=(args.amfull_warmup or (10 if q else 60)),
+                    n_steps=(args.amfull_steps or (30 if q else 600)),
                     n_map_steps=(40 if q else 150))
     if "hmc" in names or "nuts" in names:
         post_cheap, _ = build(differentiable=False)
