@@ -61,18 +61,20 @@ def sample_chunked(run_mcmc, kernel, states, hyper, key, n_steps, chunk,
     axon tunnel varies by tens of seconds run-to-run and must not
     contaminate the throughput number — and serves as extra burn-in), so
     ESS/s uses the timed chunks' wall with the timed chunks' draws. The
-    Welford accumulator is threaded ACROSS chunks so the returned moments
-    cover the whole window, not just the last chunk (ADVICE r3); it is
-    passed from chunk 0 onward with an identical pytree structure every
-    call, so run_mcmc compiles exactly once (a None->Welford switch
-    mid-loop would retrace inside a timed chunk)."""
+    Welford accumulator is threaded ACROSS the timed chunks so the
+    returned moments cover the whole measured window, not just the last
+    chunk (ADVICE r3); it is RE-INITIALIZED after the burn-in chunk so
+    moments and traces cover the SAME window (ADVICE r4 — the fresh
+    accumulator has an identical pytree structure, so run_mcmc still
+    compiles exactly once)."""
     from mceik_tpu.diag.moments import welford_init
 
     samples, lps, accs = [], [], []
     wall = 0.0
     n_chains = states.logpost.shape[0]
-    welford = welford_init(
+    fresh_welford = lambda: welford_init(
         jax.tree.map(lambda x: x[0], states.params), batch_shape=(n_chains,))
+    welford = fresh_welford()
     for i in range(1 + -(-n_steps // chunk)):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
@@ -86,7 +88,8 @@ def sample_chunked(run_mcmc, kernel, states, hyper, key, n_steps, chunk,
             lps.append(np.asarray(r.logpost_trace))
             accs.append(np.asarray(r.accept_trace))
         states = r.states
-        welford = r.welford
+        # Drop the burn-in chunk's contribution: moments == traces window.
+        welford = fresh_welford() if i == 0 else r.welford
     return (states, np.concatenate(samples, 0), np.concatenate(lps, 0),
             np.concatenate(accs, 0), wall, welford)
 

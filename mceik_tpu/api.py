@@ -14,6 +14,7 @@ segments, so segmentation never changes the statistics.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -238,9 +239,17 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     posterior = build_posterior(config.model, data, grid, config.eikonal,
                                 differentiable=differentiable)
 
+    # Resume only if the checkpoint actually exists: a not-yet-written
+    # path (e.g. checkpoint_path == resume for restart loops) falls back
+    # to a fresh run with full setup instead of skipping the Laplace
+    # setup and then failing at load (ADVICE r4).
+    resuming = bool(config.io.resume) and os.path.exists(config.io.resume)
+    if config.io.resume and not resuming and verbose:
+        print(f"[mceik-tpu] resume path {config.io.resume} does not exist "
+              "— starting fresh")
+
     kernel, adapter, hyper, finalize_fn, state_lp, make_states = \
-        _dispatch_sampler(config.sampler, posterior,
-                          resuming=bool(config.io.resume))
+        _dispatch_sampler(config.sampler, posterior, resuming=resuming)
     base_kernel = kernel
     if posterior.noise_gibbs is not None:
         if config.sampler.algorithm == "pcn":
@@ -273,8 +282,21 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
         states = shard_chains(states, mesh, config.dist.chain_axis)
 
     n_warmup = scfg.n_warmup
-    if config.io.resume:
+    if resuming:
         (states, hyper), meta = load_checkpoint(config.io.resume, (states, hyper))
+        # Provenance check (ADVICE r4): with precondition="laplace" the
+        # resume path SKIPS the Laplace setup on the assumption the
+        # checkpoint's hyper carries the pinned GN covariance; a
+        # structurally-compatible checkpoint from a precondition="none"
+        # run would silently freeze a non-GN adapted covariance instead.
+        ck_pre = meta.get("precondition")
+        if (scfg.algorithm == "mala" and ck_pre is not None
+                and ck_pre != scfg.precondition):
+            raise ValueError(
+                f"checkpoint {config.io.resume} was written with "
+                f"precondition={ck_pre!r} but this run requests "
+                f"{scfg.precondition!r} — refusing to resume (the pinned "
+                "proposal covariance would not match the requested mode)")
         n_warmup = 0  # resumed states are post-warmup
         if verbose:
             print(f"[mceik-tpu] resumed from {config.io.resume} (meta={meta})")
@@ -347,12 +369,14 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
                 and step_done % config.io.checkpoint_every == 0):
             save_checkpoint(config.io.checkpoint_path, (states, hyper),
                             meta={"step": step_done,
-                                  "algorithm": scfg.algorithm})
+                                  "algorithm": scfg.algorithm,
+                                  "precondition": scfg.precondition})
     wall = time.perf_counter() - t0
 
     if config.io.checkpoint_path:
         save_checkpoint(config.io.checkpoint_path, (states, hyper),
                         meta={"step": step_done, "algorithm": scfg.algorithm,
+                              "precondition": scfg.precondition,
                               "final": True})
 
     # --- host-side summary ---------------------------------------------

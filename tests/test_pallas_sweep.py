@@ -235,3 +235,46 @@ def test_fused01_cycle_cubic_matches_singles():
         for i in range(P)])
     np.testing.assert_allclose(np.asarray(packed), np.asarray(singles),
                                atol=1e-4)
+
+
+def test_fused01_cycle_noncubic_nz_matches_singles():
+    """The fused axis-0+1 path requires only n_x == n_y (not a cube):
+    a (16, 16, 32) grid routes through it too (ADVICE r4). Parity vs P
+    independent single-field solves."""
+    from mceik_tpu.eikonal.pallas_sweep import (lane_pack_factor,
+                                                sweep_solve_pallas,
+                                                sweep_solve_pallas_packed)
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 16, 32), spacing=(1.0, 1.1, 0.9))
+    P = lane_pack_factor(grid.shape)
+    assert P == 4
+    key = jax.random.PRNGKey(23)
+    T0s, frs, ss = [], [], []
+    for i in range(P):
+        s = _smooth_random_slowness(jax.random.fold_in(key, i), grid)
+        src = jnp.asarray([2.0 + i, 7.0, 21.0 - i], jnp.float32)
+        T0, fr = seed_source(s, src, grid, 3.0)
+        T0s.append(T0), frs.append(fr), ss.append(s)
+    packed = sweep_solve_pallas_packed(
+        jnp.stack(T0s), jnp.stack(frs), jnp.stack(ss), grid.spacing,
+        tol=1e-5, max_cycles=80, interpret=True)
+    singles = jnp.stack([
+        sweep_solve_pallas(T0s[i], frs[i], ss[i], grid.spacing, tol=1e-5,
+                           max_cycles=80, interpret=True)
+        for i in range(P)])
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(singles),
+                               atol=1e-4)
+
+
+def test_fused01_vmem_gate():
+    """The fused branch keeps 6 packed operands resident; near-VMEM-limit
+    square-x/y shapes must fall back to the 3-call cycle (ADVICE r4
+    medium). 64^3 packed (P=2 -> (64,64,128), 12 MB resident) fits; an
+    (88,88,64) grid packs to (88,88,128) (~24 MB resident) and must not."""
+    from mceik_tpu.eikonal.pallas_sweep import _fused01_fits_vmem
+
+    assert _fused01_fits_vmem((64, 64, 128))
+    assert _fused01_fits_vmem((16, 16, 128))
+    assert not _fused01_fits_vmem((88, 88, 128))
+    assert not _fused01_fits_vmem((128, 128, 128))
