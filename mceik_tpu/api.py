@@ -58,12 +58,30 @@ class RunSummary:
     ess_param_median: float = float("nan")
 
 
+def _whitened_setup(posterior, scfg):
+    """Laplace setup + whitened u-space view (precondition="whitened").
+
+    Note: unlike the MALA resume path, whitened samplers CANNOT skip the
+    Laplace setup on resume — the map x = x_map + L u lives in the kernel
+    closure, not the checkpointed state. The setup is deterministic
+    (seeded MAP ascent + exact GN covariance), so a resume reconstructs
+    the identical map."""
+    from mceik_tpu.model.laplace import laplace_preconditioner
+    from mceik_tpu.model.whitened import whitened_view
+    p_map, cov, _ = laplace_preconditioner(posterior,
+                                           n_map_steps=scfg.n_map_steps)
+    return whitened_view(posterior, p_map, cov)
+
+
 def _dispatch_sampler(scfg, posterior, resuming: bool = False):
     """Returns (kernel, adapter, hyper, finalize_fn, state_logpost_fn,
-    make_states) — make_states is None for plain-MHState samplers, else a
-    ``(key, n_chains) -> states`` builder (MALA carries cached gradients
-    and, when Laplace-preconditioned, initializes chains overdispersed
-    around the MAP).
+    make_states, params_of) — make_states is None for plain-MHState
+    samplers, else a ``(key, n_chains) -> states`` builder (MALA carries
+    cached gradients and, when Laplace-preconditioned, initializes chains
+    overdispersed around the MAP). ``params_of`` is None when chain-state
+    params ARE model params; for whitened-coordinate samplers
+    (precondition="whitened") it maps the u-space chain state to model
+    params (model/whitened.py).
 
     ``resuming``: the run will restore (states, hyper) from a checkpoint,
     so expensive setup whose product lives INSIDE those pytrees is
@@ -76,11 +94,11 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
     lp = posterior.logpost
     if scfg.algorithm == "rwm":
         return (rwm.make_kernel(lp), rwm.make_adapter(scfg.target_accept),
-                rwm.init_hyper(scales, scfg.step_size), None, lp, None)
+                rwm.init_hyper(scales, scfg.step_size), None, lp, None, None)
     if scfg.algorithm == "am":
         return (am.make_kernel(lp), am.make_adapter(scfg.target_accept),
                 am.init_hyper(scales, scfg.step_size, example), None, lp,
-                None)
+                None, None)
     if scfg.algorithm == "am_full":
         # Classic full-covariance Haario AM — for small/medium parameter
         # counts (strongly correlated posteriors where the diagonal
@@ -90,10 +108,24 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
         return (am_full.make_kernel(lp),
                 am_full.make_adapter(scfg.target_accept),
                 am_full.init_hyper(scales, scfg.step_size, example), None, lp,
-                None)
+                None, None)
     if scfg.algorithm == "pcn":
         from mceik_tpu.model.params import Params, box_logjac
         from mceik_tpu.samplers import pcn
+
+        if scfg.precondition == "whitened":
+            # Generalized pCN w.r.t. the Laplace approximation N(x_map, C):
+            # pCN in the whitened coords with unit reference — acceptance
+            # driven only by the non-Gaussian residual; gradient-free and
+            # dimension-robust (model/whitened.py).
+            wv = _whitened_setup(posterior, scfg)
+            return (pcn.make_kernel(wv.resid_u),
+                    pcn.make_adapter(scfg.target_accept),
+                    pcn.init_hyper(wv.scales_u, None, scfg.step_size),
+                    None, wv.resid_u,
+                    lambda key, n: init_chain_states(wv.resid_u, wv.init_u,
+                                                     key, n),
+                    wv.params_of)
 
         def nongauss(p):
             return (box_logjac(p.hypo_raw) if p.hypo_raw is not None
@@ -108,20 +140,42 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
         return (pcn.make_kernel(posterior.log_lik, nongauss),
                 pcn.make_adapter(scfg.target_accept),
                 pcn.init_hyper(gauss_scales, rw_scales, scfg.step_size),
-                None, state_lp, None)
+                None, state_lp, None, None)
     if scfg.algorithm == "hmc":
         target = max(scfg.target_accept, 0.7)
+        if scfg.precondition == "whitened":
+            wv = _whitened_setup(posterior, scfg)
+            return (hmc.make_kernel(wv.logpost_u, scfg.n_leapfrog),
+                    hmc.make_adapter(target),
+                    hmc.init_hyper(wv.scales_u, scfg.step_size, wv.zero_u),
+                    hmc.finalize, wv.logpost_u,
+                    lambda key, n: init_chain_states(wv.logpost_u, wv.init_u,
+                                                     key, n),
+                    wv.params_of)
         return (hmc.make_kernel(lp, scfg.n_leapfrog),
                 hmc.make_adapter(target),
                 hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
-                lp, None)
+                lp, None, None)
     if scfg.algorithm == "nuts":
         from mceik_tpu.samplers import nuts
         target = max(scfg.target_accept, 0.8)
+        if scfg.precondition == "whitened":
+            # Whitened NUTS == dense-GN-mass NUTS (model/whitened.py):
+            # identity diagonal mass in u == mass C^{-1} on x; the dual
+            # averaging + diag-mass welford then adapt RESIDUAL structure
+            # on top of the GN whitening.
+            wv = _whitened_setup(posterior, scfg)
+            return (nuts.make_kernel(wv.logpost_u, scfg.max_tree_depth),
+                    hmc.make_adapter(target),
+                    hmc.init_hyper(wv.scales_u, scfg.step_size, wv.zero_u),
+                    hmc.finalize, wv.logpost_u,
+                    lambda key, n: init_chain_states(wv.logpost_u, wv.init_u,
+                                                     key, n),
+                    wv.params_of)
         return (nuts.make_kernel(lp, scfg.max_tree_depth),
                 hmc.make_adapter(target),
                 hmc.init_hyper(scales, scfg.step_size, example), hmc.finalize,
-                lp, None)
+                lp, None, None)
     if scfg.algorithm == "mala":
         # Preconditioned Metropolis-adjusted Langevin: one gradient/step
         # through the implicit adjoint, full-covariance proposal. With
@@ -167,7 +221,7 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
                 lp, init_one, key, n)
         return (mala_mod.make_kernel(lp),
                 mala_mod.make_adapter(target, adapt_cov=adapt_cov),
-                hyper, None, lp, make_states)
+                hyper, None, lp, make_states, None)
     raise ValueError(f"unknown/unsupported algorithm {scfg.algorithm!r} "
                      "(smc has its own entry point: samplers.smc.run_smc)")
 
@@ -235,7 +289,11 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     grid = config.grid.build()
     data, truth = make_dataset(grid, config.data, config.model)
 
-    differentiable = config.sampler.algorithm in ("hmc", "nuts", "mala")
+    differentiable = (config.sampler.algorithm in ("hmc", "nuts", "mala")
+                      # gpCN is gradient-free per step, but its Laplace
+                      # setup (MAP ascent + GN covariance) needs grads.
+                      or (config.sampler.algorithm == "pcn"
+                          and config.sampler.precondition == "whitened"))
     posterior = build_posterior(config.model, data, grid, config.eikonal,
                                 differentiable=differentiable)
 
@@ -248,10 +306,16 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
         print(f"[mceik-tpu] resume path {config.io.resume} does not exist "
               "— starting fresh")
 
-    kernel, adapter, hyper, finalize_fn, state_lp, make_states = \
+    kernel, adapter, hyper, finalize_fn, state_lp, make_states, params_of = \
         _dispatch_sampler(config.sampler, posterior, resuming=resuming)
     base_kernel = kernel
     if posterior.noise_gibbs is not None:
+        if params_of is not None:
+            raise ValueError(
+                "spike_slab noise is not supported with "
+                "precondition='whitened': the indicator Gibbs sweep "
+                "operates on model params while the chain state lives in "
+                "whitened coordinates")
         if config.sampler.algorithm == "pcn":
             raise ValueError(
                 "spike_slab noise is not supported with the pcn sampler "
@@ -290,13 +354,14 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
         # structurally-compatible checkpoint from a precondition="none"
         # run would silently freeze a non-GN adapted covariance instead.
         ck_pre = meta.get("precondition")
-        if (scfg.algorithm == "mala" and ck_pre is not None
-                and ck_pre != scfg.precondition):
+        if (scfg.algorithm in ("mala", "hmc", "nuts", "pcn")
+                and ck_pre is not None and ck_pre != scfg.precondition):
             raise ValueError(
                 f"checkpoint {config.io.resume} was written with "
                 f"precondition={ck_pre!r} but this run requests "
-                f"{scfg.precondition!r} — refusing to resume (the pinned "
-                "proposal covariance would not match the requested mode)")
+                f"{scfg.precondition!r} — refusing to resume (the "
+                "preconditioner / chain coordinate system would not match "
+                "the requested mode)")
         n_warmup = 0  # resumed states are post-warmup
         if verbose:
             print(f"[mceik-tpu] resumed from {config.io.resume} (meta={meta})")
@@ -311,12 +376,17 @@ def run(config: RunConfig, verbose: bool = True) -> RunSummary:
     track_slowness = config.model.mode in ("tomo", "joint")
 
     def track_fn(params):
-        out = {"params": params}
+        # Whitened chains carry u; diagnostics/moments always see model
+        # params (the map runs on-device inside the jitted step loop —
+        # one (d,d)@(d,) matmul per tracked draw).
+        p = params_of(params) if params_of is not None else params
+        out = {"params": p}
         if track_slowness:
-            out["slowness"] = posterior.slowness_of(params)
+            out["slowness"] = posterior.slowness_of(p)
         return out
 
-    collect_fn = lambda params: params
+    collect_fn = (params_of if params_of is not None
+                  else (lambda params: params))
 
     # --- segmented sampling loop --------------------------------------
     seg = config.io.log_every if config.io.log_every > 0 else scfg.n_samples

@@ -118,10 +118,16 @@ class SamplerCfg:
     n_mutation_steps: int = 5
     # pCN proposal for field parameters under Gaussian prior (RWM/AM only).
     use_pcn: bool = False
-    # MALA preconditioning: "laplace" computes the MAP + Gauss-Newton
-    # covariance once at startup (model/laplace.py) and pins it as the
-    # proposal preconditioner + chain-init distribution; "none" adapts a
-    # full Haario covariance from chain history instead.
+    # Preconditioning mode.
+    # mala: "laplace" computes the MAP + Gauss-Newton covariance once at
+    #   startup (model/laplace.py) and pins it as the proposal
+    #   preconditioner + chain-init distribution; "none" adapts a full
+    #   Haario covariance from chain history instead.
+    # hmc/nuts/pcn: "whitened" runs the sampler in the Laplace-whitened
+    #   coordinates x = x_map + L u (model/whitened.py) — dense GN mass
+    #   for hmc/nuts, generalized (Laplace-referenced) pCN for pcn.
+    #   Their default behavior ignores the "laplace" value (kept as the
+    #   config default for the mala path).
     precondition: str = "laplace"
     n_map_steps: int = 150
 

@@ -120,20 +120,28 @@ def _core_solver(grid: Grid, config: EikonalConfig, impl: str,
             B = T0.shape[0]
             P = lane_pack_factor(grid.shape)
             if P > 1:
+                # Fractional source index coords ride along so cube grids
+                # take the single-pallas_call fused cycle (fused012 —
+                # in-kernel floor reconstruction; bit-exact).
+                src_idx = jax.vmap(grid.to_index_coords)(srcs)
                 pad = (-B) % P
                 if pad:
                     T0p = jnp.concatenate([T0, T0[-1:].repeat(pad, 0)], 0)
                     frp = jnp.concatenate(
                         [frozen, frozen[-1:].repeat(pad, 0)], 0)
                     sp_ = jnp.concatenate([s, s[-1:].repeat(pad, 0)], 0)
+                    sip = jnp.concatenate(
+                        [src_idx, src_idx[-1:].repeat(pad, 0)], 0)
                 else:
-                    T0p, frp, sp_ = T0, frozen, s
+                    T0p, frp, sp_, sip = T0, frozen, s, src_idx
                 shp = (-1, P) + grid.shape
                 f = lambda args: sweep_solve_pallas_packed(
                     args[0], args[1], args[2], grid.spacing, config.tol,
-                    config.max_iters, config.n_inner, interpret=interpret)
+                    config.max_iters, config.n_inner, interpret=interpret,
+                    src_idx=args[3], seed_radius=config.seed_radius)
                 out = jax.lax.map(f, (T0p.reshape(shp), frp.reshape(shp),
-                                      sp_.reshape(shp)))
+                                      sp_.reshape(shp),
+                                      sip.reshape((-1, P, grid.ndim))))
                 return out.reshape((-1,) + grid.shape)[:B]
 
             f = lambda args: sweep_solve_pallas(

@@ -236,6 +236,164 @@ def sweep_axes01_fused(Tp, s0, f0, s1, f1, spacing, n_inner: int = 2,
     )(Tp, s0, f0, s1, f1)
 
 
+# ---------------------------------------------------------------------------
+# FULLY fused cycle: all THREE axis sweeps in ONE pallas_call (the r4->r5
+# lever's second step, BASELINE.md 2026-08-21 — cube grids only).
+#
+# Two obstacles and their resolutions:
+#
+# 1. The axis-1 -> axis-2 packed relayout moves the swept axis out of the
+#    128-wide lane dim (labels [1,0,'P',2] -> [2,0,'P',1]) — lane<->sublane
+#    territory. The direct reshape->4D-transpose spelling fails Mosaic
+#    ("infer-vector-layout: unsupported shape cast"), but the decomposition
+#    full-reversal transpose (2,1,0) + per-segment major-dim slices
+#    re-concatenated along lanes compiles and is BIT-EXACT vs the XLA
+#    `_repack` (tools/relayout_probe.py, 2026-08-21).
+#
+# 2. VMEM: with per-axis floor operands the working set would be 8 packed
+#    buffers (16 MB at 64^3 — over the limit). The floors are therefore
+#    RECONSTRUCTED IN KERNEL: frozen (seeded) nodes are floor-pinned and
+#    monotone updates never move them, so at every plane visit
+#    ``floor = where(seed_mask, current_T, 0)`` holds BIT-EXACTLY, and the
+#    seed mask is recomputed from 3 scalars/segment with seed_source's
+#    exact arithmetic (per-axis ((idx-src)*h)^2 terms summed in ORIGINAL
+#    axis order — fp32 addition is not associative, so the permuted sweeps
+#    must re-order their terms — then sqrt(d2+1e-12) <= radius). Working
+#    set: 5 packed buffers (T, s0, s1, s2, out) = 10 MB at 64^3.
+# ---------------------------------------------------------------------------
+
+_FUSED012_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def _fused012_fits_vmem(packed_shape: Tuple[int, ...]) -> bool:
+    # 5 resident operands + ~2 buffers of relayout transients.
+    return 7 * 4 * int(np.prod(packed_shape)) <= _FUSED012_VMEM_BUDGET
+
+
+def _relayout12_val(x, P):
+    """In-kernel packed(axis1) -> packed(axis2) relayout of a VALUE
+    (Mosaic-lowerable decomposition; bit-exact vs ``_repack(x, P, 1, 2)``)."""
+    na, nb, W = x.shape
+    nc = W // P
+    xt = jnp.transpose(x, (2, 1, 0))                  # (W, nb, na)
+    return jnp.concatenate(
+        [xt[p * nc:(p + 1) * nc] for p in range(P)], axis=-1)
+
+
+def _march_axis0_masked(ref, s_ref, scal, perm, sp_perm, n_inner: int,
+                        n_seg: int, radius: float):
+    """Bidirectional GS plane march along axis 0 of ``ref`` IN PLACE, with
+    the frozen-seed floor reconstructed per plane from the per-segment
+    source coordinates (see the section comment: bit-exact because pinned
+    nodes never change). ``scal[p, d]`` is segment p's fractional source
+    index along ORIGINAL axis d; ``perm`` maps this layout's
+    (swept, row, lane) slots to original axes; ``sp_perm`` is the spacing
+    in the same permuted order."""
+    n0 = ref.shape[0]
+    plane_shape = ref.shape[1:]
+    nc = plane_shape[-1] // n_seg
+    sp_swept = sp_perm[0]
+    sp_plane = tuple(sp_perm[1:])
+    big_plane = jnp.full(plane_shape, BIG, jnp.float32)
+
+    col = lax.broadcasted_iota(jnp.int32, plane_shape, 1)
+    seg = col // nc
+
+    def coef(c):
+        acc = jnp.zeros(plane_shape, jnp.float32)
+        for p in range(n_seg):
+            acc += jnp.where(seg == p, scal[p, c], 0.0)
+        return acc
+
+    srcA = coef(perm[0])
+    srcB = coef(perm[1])
+    srcC = coef(perm[2])
+    row = lax.broadcasted_iota(jnp.int32, plane_shape, 0).astype(jnp.float32)
+    kk = (col - seg * nc).astype(jnp.float32)
+    # In-plane distance terms, hoisted; kept SEPARATE (not pre-summed)
+    # because the original-axis-order sum may interleave the swept term.
+    tB = ((row - srcB) * sp_plane[0]) ** 2
+    tC = ((kk - srcC) * sp_plane[1]) ** 2
+
+    def update_plane_at(i):
+        tA = ((i.astype(jnp.float32) - srcA) * sp_swept) ** 2
+        terms = {perm[0]: tA, perm[1]: tB, perm[2]: tC}
+        d2 = (terms[0] + terms[1]) + terms[2]   # seed_source's sum order
+        dist = jnp.sqrt(d2 + 1e-12)             # matches seed_source
+        Tp = ref[i]
+        floor_p = jnp.where(dist <= radius, Tp, 0.0)
+        prev = jnp.where(i >= 1, ref[jnp.maximum(i - 1, 0)], big_plane)
+        nxt = jnp.where(i <= n0 - 2, ref[jnp.minimum(i + 1, n0 - 1)],
+                        big_plane)
+        ref[i] = _plane_update(Tp, prev, nxt, s_ref[i], floor_p,
+                               sp_swept, sp_plane, n_inner, n_seg)
+
+    def fwd_body(i, _):
+        update_plane_at(i)
+        return 0
+
+    def bwd_body(k, _):
+        update_plane_at(n0 - 1 - k)
+        return 0
+
+    lax.fori_loop(0, n0, fwd_body, 0)
+    lax.fori_loop(0, n0, bwd_body, 0)
+
+
+def _sweep_axes012_fused_kernel(scal_ref, T_ref, s0_ref, s1_ref, s2_ref,
+                                out_ref, *, spacing: Tuple[float, ...],
+                                n_inner: int, n_seg: int, radius: float):
+    """ALL THREE bidirectional axis sweeps in ONE pallas_call (cube grids:
+    every packed layout then has the same (n, n, P*n) shape and the march
+    runs in out_ref in place). Input axis-0 layout; output axis-2 layout
+    (caller _repacks 2 -> 0). Floors reconstructed in kernel — see the
+    section comment."""
+    n = T_ref.shape[0]
+    P = T_ref.shape[2] // n
+    assert T_ref.shape == (n, n, P * n), "fused012 kernel requires a cube"
+    scal = scal_ref[...]
+    sp0 = (spacing[0], spacing[1], spacing[2])
+    sp1 = (spacing[1], spacing[0], spacing[2])
+    sp2 = (spacing[2], spacing[0], spacing[1])
+    out_ref[...] = T_ref[...]
+    _march_axis0_masked(out_ref, s0_ref, scal, (0, 1, 2), sp0, n_inner,
+                        n_seg, radius)
+    out_ref[...] = jnp.transpose(out_ref[...], (1, 0, 2))
+    _march_axis0_masked(out_ref, s1_ref, scal, (1, 0, 2), sp1, n_inner,
+                        n_seg, radius)
+    out_ref[...] = _relayout12_val(out_ref[...], P)
+    _march_axis0_masked(out_ref, s2_ref, scal, (2, 0, 1), sp2, n_inner,
+                        n_seg, radius)
+
+
+@functools.partial(jax.jit, static_argnames=("spacing", "n_inner",
+                                              "interpret", "n_seg",
+                                              "radius"))
+def sweep_axes012_fused(Tp, s0, s1, s2, scal, spacing, radius,
+                        n_inner: int = 2, interpret: bool = False,
+                        n_seg: int = 1):
+    """One pallas_call per CYCLE: axis-0, axis-1 AND axis-2 bidirectional
+    sweeps (cube grids only). ``Tp`` in packed axis-0 layout; returns
+    packed axis-2 layout. ``scal`` is ``(n_seg, 3)`` fractional source
+    index coords in original axis order; ``radius`` the seed radius in
+    physical units (static)."""
+    kernel = functools.partial(_sweep_axes012_fused_kernel, spacing=spacing,
+                               n_inner=n_inner, n_seg=n_seg,
+                               radius=float(radius))
+    # Mosaic rejects tiny standalone blocks; pad the scalars to a full
+    # (8, 128) tile (4 KB — noise).
+    scal8 = jnp.zeros((8, 128), jnp.float32)
+    scal8 = scal8.at[:scal.shape[0], :scal.shape[1]].set(
+        scal.astype(jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(Tp.shape, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scal8, Tp, s0, s1, s2)
+
+
 def sweep_cycle_pallas(T, s, seed_floor, spacing, n_inner: int = 2,
                        interpret: bool = False):
     """One full cycle: bidirectional sweeps along every axis (axis brought
@@ -349,7 +507,8 @@ def _repack(y, P, axis_from: int, axis_to: int):
 
 
 def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
-                              n_inner: int = 2, interpret: bool = False):
+                              n_inner: int = 2, interpret: bool = False,
+                              scal=None, radius=None):
     """One full cycle over all axes, RESIDENT in packed layouts: input and
     output are packed layout axis-0; between axis sweeps the field moves
     by one fused ``_repack`` relayout (not unpack+pack — that pair cost
@@ -365,8 +524,20 @@ def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
     dim, so the in-kernel relayout is a leading-2D transpose, and the
     cycle drops from 3 launches to 2 — measured +6.2% on the full B=128
     64^3 batch solve, bit-exact (tools/fused01_probe.py, BASELINE.md
-    2026-08-21)."""
+    2026-08-21).
+
+    CUBE grids with ``scal`` (per-segment fractional source coords) and
+    ``radius`` provided go further: ALL THREE sweeps in ONE pallas_call
+    (sweep_axes012_fused — in-kernel lane-crossing relayout + in-kernel
+    floor reconstruction), leaving one XLA _repack per cycle."""
     D = 3
+    is_cube = Tp.shape[0] == Tp.shape[1] == Tp.shape[2] // P
+    if (scal is not None and radius is not None and is_cube
+            and _fused012_fits_vmem(Tp.shape)):
+        Tp = sweep_axes012_fused(Tp, s_packed[0], s_packed[1], s_packed[2],
+                                 scal, spacing, radius, n_inner, interpret,
+                                 n_seg=P)
+        return _repack(Tp, P, 2, 0)
     if Tp.shape[0] == Tp.shape[1] and _fused01_fits_vmem(Tp.shape):
         Tp = sweep_axes01_fused(Tp, s_packed[0], floor_packed[0],
                                 s_packed[1], floor_packed[1], spacing,
@@ -386,14 +557,20 @@ def sweep_cycle_pallas_packed(Tp, s_packed, floor_packed, spacing, P,
 
 
 def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
-                              n_inner: int = 2, interpret: bool = False):
+                              n_inner: int = 2, interpret: bool = False,
+                              src_idx=None, seed_radius=None):
     """Fixed-point solve of ``P`` lane-packed fields at once.
 
     Args are stacked ``(P,) + field_shape``; same contract per field as
     sweep_solve_pallas (parity-tested). Convergence is joint (the pair
     iterates until the slowest member converges). The iterate stays in
     the packed axis-0 layout across cycles (delta is layout-invariant);
-    canonical layout is touched only once at entry and once at exit."""
+    canonical layout is touched only once at entry and once at exit.
+
+    ``src_idx`` (``(P, D)`` fractional source index coords) +
+    ``seed_radius`` (static, in units of max spacing — as
+    EikonalConfig.seed_radius) enable the single-pallas_call fused cycle
+    on cube grids (bit-exact; see the fused012 section comment)."""
     P = T0.shape[0]
     D = T0.ndim - 1
     seed_floor = jnp.where(frozen, T0, 0.0).astype(jnp.float32)
@@ -405,6 +582,11 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
         floor_packed.append(_pack(seed_floor, sperm))
     s_packed, floor_packed = tuple(s_packed), tuple(floor_packed)
 
+    scal = radius = None
+    if src_idx is not None and seed_radius is not None and D == 3:
+        scal = jnp.asarray(src_idx, jnp.float32)
+        radius = float(seed_radius) * max(spacing)
+
     _, sperm0, inv_sperm0 = _pack_perms(D, 0)
     Tp0 = _pack(T0, sperm0)
 
@@ -415,7 +597,8 @@ def sweep_solve_pallas_packed(T0, frozen, s, spacing, tol, max_cycles,
     def body(carry):
         Tp, _, it = carry
         Tp_new = sweep_cycle_pallas_packed(Tp, s_packed, floor_packed,
-                                           spacing, P, n_inner, interpret)
+                                           spacing, P, n_inner, interpret,
+                                           scal=scal, radius=radius)
         delta = jnp.max(jnp.abs(Tp_new - Tp))
         return Tp_new, delta, it + 1
 

@@ -278,3 +278,43 @@ def test_fused01_vmem_gate():
     assert _fused01_fits_vmem((16, 16, 128))
     assert not _fused01_fits_vmem((88, 88, 128))
     assert not _fused01_fits_vmem((128, 128, 128))
+
+
+def test_fused012_cycle_matches_fused01_bitexact():
+    """Cube grids with source coords provided route the packed cycle
+    through the FULLY fused kernel (sweep_axes012_fused: all three axis
+    sweeps + the in-kernel lane-crossing relayout + in-kernel floor
+    reconstruction in ONE pallas_call). Its fixed point must be BIT-EXACT
+    vs the fused01 2-call cycle (the floor-reconstruction argument in the
+    fused012 section comment is exactness, not approximation)."""
+    from mceik_tpu.eikonal.pallas_sweep import (lane_pack_factor,
+                                                sweep_solve_pallas,
+                                                sweep_solve_pallas_packed)
+    from mceik_tpu.eikonal.solve import seed_source
+
+    grid = Grid(shape=(16, 16, 16), spacing=(1.0, 1.1, 0.9))
+    P = lane_pack_factor(grid.shape)
+    key = jax.random.PRNGKey(29)
+    T0s, frs, ss, sis = [], [], [], []
+    for i in range(P):
+        s = _smooth_random_slowness(jax.random.fold_in(key, i), grid)
+        src = jnp.asarray([2.0 + i, 7.0, 13.0 - i], jnp.float32)
+        T0, fr = seed_source(s, src, grid, 3.0)
+        T0s.append(T0), frs.append(fr), ss.append(s)
+        sis.append(grid.to_index_coords(src))
+    T0b, frb, sb = jnp.stack(T0s), jnp.stack(frs), jnp.stack(ss)
+    si = jnp.stack(sis)
+
+    fused012 = sweep_solve_pallas_packed(
+        T0b, frb, sb, grid.spacing, tol=1e-5, max_cycles=60, interpret=True,
+        src_idx=si, seed_radius=3.0)
+    fused01 = sweep_solve_pallas_packed(
+        T0b, frb, sb, grid.spacing, tol=1e-5, max_cycles=60, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused012), np.asarray(fused01))
+
+    singles = jnp.stack([
+        sweep_solve_pallas(T0s[i], frs[i], ss[i], grid.spacing, tol=1e-5,
+                           max_cycles=60, interpret=True)
+        for i in range(P)])
+    np.testing.assert_allclose(np.asarray(fused012), np.asarray(singles),
+                               atol=1e-4)

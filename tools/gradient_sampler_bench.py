@@ -339,6 +339,77 @@ def run_am_full(post, post_g, n_chains=16, n_warmup=60, n_steps=600,
                       "step_wall_s": round(per_step, 3), "thin": thin})
 
 
+def _laplace_whitened(post_g, n_map_steps=150):
+    """Shared Laplace setup for the whitened-coordinate samplers
+    (model/whitened.py — VERDICT r4 #2)."""
+    from mceik_tpu.model.laplace import laplace_preconditioner
+    from mceik_tpu.model.whitened import whitened_view
+
+    t0 = time.perf_counter()
+    p_map, cov, trace = laplace_preconditioner(post_g,
+                                               n_map_steps=n_map_steps)
+    wv = whitened_view(post_g, p_map, cov)
+    return wv, time.perf_counter() - t0, float(trace[-1])
+
+
+def run_nuts_whitened(post_g, wv, setup_wall, n_chains=16, n_warmup=24,
+                      n_steps=40, thin=1, max_tree_depth=4,
+                      step_size0=0.05):
+    """Whitened NUTS == dense-GN-mass NUTS (the r4 #2 lever (a)): unit
+    diagonal mass in u-space; trajectories can track the position-
+    dependent soft-subspace curvature that defeated the one-step pinned
+    MALA proposal."""
+    from mceik_tpu.samplers import hmc as hmc_mod
+    from mceik_tpu.samplers import nuts as nuts_mod
+    from mceik_tpu.samplers.base import init_chain_states
+
+    states = init_chain_states(wv.logpost_u, wv.init_u,
+                               jax.random.PRNGKey(0), n_chains)
+    hyper = hmc_mod.init_hyper(wv.scales_u, step_size0, wv.zero_u)
+    kernel = nuts_mod.make_kernel(wv.logpost_u,
+                                  max_tree_depth=max_tree_depth)
+    adapter = hmc_mod.make_adapter(target_accept=0.8)
+
+    (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda u: wv.params_of(u).u,
+        finalize_fn=hmc_mod.finalize)
+    eps = float(np.exp(np.asarray(hyper.da.log_eps)))
+    return summarize("nuts_w", wall, n_steps, n_chains, samples, lp,
+                     {"accept": round(float(np.mean(acc)), 3),
+                      "step_size": round(eps, 5),
+                      "grads_per_step": 2 ** max_tree_depth - 1,
+                      "max_tree_depth": max_tree_depth,
+                      "laplace_setup_wall_s": round(setup_wall, 1),
+                      "step_wall_s": round(per_step, 2)})
+
+
+def run_gpcn(post_g, wv, setup_wall, n_chains=16, n_warmup=300,
+             n_steps=3000, thin=5, rho0=0.1):
+    """Generalized pCN w.r.t. the Laplace approximation (the r4 #2 lever
+    (b), gradient-FREE): pCN in whitened coords with unit reference —
+    acceptance driven only by the non-Gaussian residual, one forward
+    likelihood per step (AM-class cost)."""
+    from mceik_tpu.samplers import pcn as pcn_mod
+    from mceik_tpu.samplers.base import init_chain_states
+
+    states = init_chain_states(wv.resid_u, wv.init_u,
+                               jax.random.PRNGKey(0), n_chains)
+    hyper = pcn_mod.init_hyper(wv.scales_u, None, rho0)
+    kernel = pcn_mod.make_kernel(wv.resid_u)
+    adapter = pcn_mod.make_adapter(target_accept=0.234)
+
+    (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
+        kernel, adapter, states, hyper, jax.random.PRNGKey(2),
+        n_warmup, n_steps, thin, lambda u: wv.params_of(u).u)
+    rho = float(jax.nn.sigmoid(hyper.log_rho))
+    return summarize("gpcn", wall, n_steps, n_chains, samples, lp,
+                     {"accept": round(float(np.mean(acc)), 3),
+                      "rho": round(rho, 4), "thin": thin,
+                      "laplace_setup_wall_s": round(setup_wall, 1),
+                      "step_wall_s": round(per_step, 3)})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samplers", default="am,hmc,nuts")
@@ -358,6 +429,15 @@ def main():
     # accept 0.144 vs the 0.234 target after a 60-step warmup).
     ap.add_argument("--amfull-warmup", type=int, default=None)
     ap.add_argument("--amfull-steps", type=int, default=None)
+    # Plain-NUTS long-window overrides (VERDICT r4 #3).
+    ap.add_argument("--nuts-warmup", type=int, default=None)
+    ap.add_argument("--nuts-steps", type=int, default=None)
+    # Whitened-coordinate samplers (VERDICT r4 #2).
+    ap.add_argument("--nutsw-warmup", type=int, default=None)
+    ap.add_argument("--nutsw-steps", type=int, default=None)
+    ap.add_argument("--nutsw-depth", type=int, default=4)
+    ap.add_argument("--gpcn-warmup", type=int, default=None)
+    ap.add_argument("--gpcn-steps", type=int, default=None)
     args = ap.parse_args()
     q = args.quick
 
@@ -395,9 +475,25 @@ def main():
                      n_leapfrog=args.n_leapfrog, mass=mass)
         if "nuts" in names:
             run_grad(post_g, "nuts", n_chains=args.n_chains,
-                     n_warmup=(6 if q else 24),
-                     n_steps=(8 if q else 40),
+                     n_warmup=(args.nuts_warmup or (6 if q else 24)),
+                     n_steps=(args.nuts_steps or (8 if q else 40)),
                      max_tree_depth=args.max_tree_depth, mass=mass)
+    if "nuts_w" in names or "gpcn" in names:
+        post_g, _ = build(differentiable=True)
+        wv, setup_wall, map_lp = _laplace_whitened(
+            post_g, n_map_steps=(40 if q else 150))
+        print(json.dumps({"laplace_setup_wall_s": round(setup_wall, 1),
+                          "map_logpost": round(map_lp, 1)}), flush=True)
+        if "nuts_w" in names:
+            run_nuts_whitened(
+                post_g, wv, setup_wall, n_chains=args.n_chains,
+                n_warmup=(args.nutsw_warmup or (6 if q else 24)),
+                n_steps=(args.nutsw_steps or (8 if q else 40)),
+                max_tree_depth=args.nutsw_depth)
+        if "gpcn" in names:
+            run_gpcn(post_g, wv, setup_wall, n_chains=args.n_chains,
+                     n_warmup=(args.gpcn_warmup or (30 if q else 300)),
+                     n_steps=(args.gpcn_steps or (60 if q else 3000)))
 
 
 if __name__ == "__main__":
