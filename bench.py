@@ -124,12 +124,22 @@ def main():
     example = posterior.init_params(jax.random.PRNGKey(1))
     hyper = am.init_hyper(posterior.prior_scales, 0.05, example)
     kernel = am.make_kernel(posterior.logpost)
-    adapter = am.make_adapter()
+    # target_accept=0.4, NOT the 0.234 library default: on this workload
+    # the headline statistic is ESS(logpost)/s and the measured optimum
+    # sits at accept ~0.4 (the r1-r4 benches ran there — the old RM tuner
+    # never traveled from the 0.05 init step in 50 warmup steps, which
+    # accidentally pinned the good operating point; the r5 dual-averaging
+    # tuner actually REACHES its target, so the bench now states the
+    # workload-tuned target explicitly: with target 0.234 the bigger
+    # steps cost ~35% of ESS_lp/s while per-cell ESS stays at the
+    # estimator floor either way — 2026-08-21, /tmp bench_r5_4/5 runs).
+    adapter = am.make_adapter(target_accept=0.4)
 
     # --- AM: warm up adaptation + compile, then timed steady state -------
     r0 = run_mcmc(kernel, adapter, states, hyper, jax.random.PRNGKey(2),
                   n_warmup=50, n_steps=1)
     jax.block_until_ready(r0.logpost_trace)
+    r0 = r0.replace(hyper=am.finalize(r0.hyper))
 
     # 300 timed draws/chain, but the HEADLINE uses the first 150 (and
     # their wall) — like-for-like with the locked 1.70 baseline, which was
@@ -187,6 +197,7 @@ def main():
                       t0_offset=5 * i)
         jax.block_until_ready(m0.logpost_trace)
         mstates, mhyper = m0.states, m0.hyper
+    mhyper = mala.finalize(mhyper)
     (_, msamples, mlp, macc, wall_m, _) = sample_chunked(
         run_mcmc, mkernel, mstates, mhyper, jax.random.PRNGKey(10),
         n_steps=40, chunk=10, collect_fn=lambda p: p.u)

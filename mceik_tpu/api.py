@@ -97,8 +97,8 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
                 rwm.init_hyper(scales, scfg.step_size), None, lp, None, None)
     if scfg.algorithm == "am":
         return (am.make_kernel(lp), am.make_adapter(scfg.target_accept),
-                am.init_hyper(scales, scfg.step_size, example), None, lp,
-                None, None)
+                am.init_hyper(scales, scfg.step_size, example), am.finalize,
+                lp, None, None)
     if scfg.algorithm == "am_full":
         # Classic full-covariance Haario AM — for small/medium parameter
         # counts (strongly correlated posteriors where the diagonal
@@ -107,8 +107,8 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
         from mceik_tpu.samplers import am_full
         return (am_full.make_kernel(lp),
                 am_full.make_adapter(scfg.target_accept),
-                am_full.init_hyper(scales, scfg.step_size, example), None, lp,
-                None, None)
+                am_full.init_hyper(scales, scfg.step_size, example),
+                am_full.finalize, lp, None, None)
     if scfg.algorithm == "pcn":
         from mceik_tpu.model.params import Params, box_logjac
         from mceik_tpu.samplers import pcn
@@ -221,7 +221,7 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
                 lp, init_one, key, n)
         return (mala_mod.make_kernel(lp),
                 mala_mod.make_adapter(target, adapt_cov=adapt_cov),
-                hyper, None, lp, make_states, None)
+                hyper, mala_mod.finalize, lp, make_states, None)
     raise ValueError(f"unknown/unsupported algorithm {scfg.algorithm!r} "
                      "(smc has its own entry point: samplers.smc.run_smc)")
 

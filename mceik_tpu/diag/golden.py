@@ -92,6 +92,27 @@ PROBLEMS = {
         # budget would cost hours here for no extra benefit.
         "golden_n_steps": 9000, "golden_thin": 3,
     },
+    # Intermediate-DIMENSION golden (VERDICT r4 #4): 6^3 = 216-dim
+    # inversion basis — an order of magnitude above the 27-dim goldens,
+    # an order below the 1728-dim flagship — locating how far z-testable
+    # moment verification actually reaches. Probed 2026-08-21 (CPU):
+    # GN-preconditioned MALA mixes this posterior near-ideally (whitened
+    # eps 0.61, accept 0.61, min cell ESS 320 of 4k draws, tau ~ 12), so
+    # the near-Gaussian regime demonstrably extends to 216 dims; the
+    # flagship 1728-dim obstruction (BASELINE.md 2026-08-20) lies between.
+    "c2_mid": {
+        "grid": {"shape": [16, 16, 14], "spacing": [1.0, 1.0, 1.0]},
+        "eikonal": {"method": "sweep", "tol": 1e-3, "max_iters": 30,
+                    "use_pallas": "off"},
+        "model": {"mode": "tomo", "inv_shape": [6, 6, 6],
+                  "background_slowness": 1.0, "prior_sigma_u": 0.15,
+                  "sigma": 0.04},
+        "data": {"dataset": "checkerboard3d_volume", "n_src": 6, "n_rec": 8,
+                 "noise": 0.04, "seed": 80, "checker_cells": [3, 3, 3],
+                 "checker_amplitude": 0.08},
+        "kernel": "mala",
+        "golden_n_steps": 9000, "golden_thin": 3,
+    },
 }
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(

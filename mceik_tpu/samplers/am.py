@@ -7,7 +7,8 @@ proposal covariance is infeasible (d^2 entries), so the TPU-native design
 adapts a *diagonal* covariance online — per-coordinate posterior variances
 estimated with a cross-chain+time Welford accumulator (the cross-chain
 merge is exactly the collective-pooled adaptation of SURVEY.md §3.1) — plus
-the usual global scale 2.38/sqrt(d) with Robbins-Monro acceptance tuning.
+the usual global scale 2.38/sqrt(d) with dual-averaging acceptance tuning
+(see make_adapter).
 
 Optionally the field block uses a pCN (preconditioned Crank-Nicolson)
 proposal, which is well-posed in the infinite-dimensional Gaussian-prior
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 
 from mceik_tpu.diag.moments import Welford, welford_init, welford_update_batch
 from mceik_tpu.samplers.base import MHState
+from mceik_tpu.samplers.hmc import DualAveraging, dual_averaging_update
 from mceik_tpu.utils import tree_random_normal, tree_size, tree_where
 
 
@@ -33,6 +35,13 @@ class AMHyper:
     scales: Any          # prior-based fallback scales (pytree like params)
     welford: Welford     # pooled running moments of the chain positions
     reg: jnp.ndarray     # regularization floor on the adapted std
+    da: DualAveraging    # dual-averaging state for the step tuner
+
+
+def _init_da(step_size: float) -> DualAveraging:
+    log_eps = jnp.asarray(jnp.log(step_size), jnp.float32)
+    return DualAveraging(mu=log_eps, log_eps=log_eps, log_eps_bar=log_eps,
+                         h_bar=jnp.asarray(0.0, jnp.float32))
 
 
 def init_hyper(scales: Any, step_size: float, example_params: Any,
@@ -42,6 +51,7 @@ def init_hyper(scales: Any, step_size: float, example_params: Any,
         scales=scales,
         welford=welford_init(example_params),
         reg=jnp.asarray(reg, jnp.float32),
+        da=_init_da(step_size),
     )
 
 
@@ -110,8 +120,7 @@ def make_kernel(logpost_fn: Callable) -> Callable:
     return kernel
 
 
-def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
-                 t0: float = 3.0, kappa: float = 0.5,
+def make_adapter(target_accept: float = 0.234,
                  mem_samples: float = 2000.0) -> Callable:
     """Warmup adapter. ``mem_samples`` caps the Welford's effective count
     (exponential forgetting): without it the variance estimate keeps the
@@ -119,11 +128,21 @@ def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
     how long warmup runs (the other half of the r2 overshoot — see
     _proposal_std). ~2000 chain-positions is ≈125 steps of memory at 16
     chains: long enough for a stable shape, short enough to flush the
-    transient within a few hundred warmup steps."""
+    transient within a few hundred warmup steps.
+
+    Step tuning is DUAL AVERAGING on the pooled acceptance (shared with
+    HMC's tuner), not Robbins-Monro: RM's proportional control with a
+    decaying gain needs |log-step travel| / |acceptance error| steps to
+    converge — measured in the THOUSANDS when the start is a couple of
+    e-folds off (tools/rm_probe.py; the r2/r4 'adaptation overshoot'
+    rows: accept 0.084 after 300 warmup steps, 0.144 after 60). DA's
+    integral action keeps pushing while the error has a consistent sign,
+    landing any warmup length >= ~30 steps inside [0.15, 0.35] at
+    flagship dimension (tests/test_samplers.py warmup-stability test)."""
 
     def adapt(hyper: AMHyper, pooled, states: MHState, t):
-        g = gamma0 / (t0 + t) ** kappa
-        log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)
+        da = dual_averaging_update(hyper.da, pooled["accept_prob"], t,
+                                   target=target_accept, gamma=0.1, t0=20.0)
         # Feed every chain's current position into the pooled covariance
         # estimate (batch Welford merge; cross-device this is the psum'd
         # adaptation statistic of SURVEY.md §2.4).
@@ -132,6 +151,12 @@ def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
         welford = welford.replace(
             count=welford.count * f,
             m2=jax.tree.map(lambda m: m * f, welford.m2))
-        return hyper.replace(log_step=log_step, welford=welford)
+        return hyper.replace(log_step=da.log_eps, da=da, welford=welford)
 
     return adapt
+
+
+def finalize(hyper: AMHyper) -> AMHyper:
+    """Post-warmup: freeze the step at the dual-averaged iterate (less
+    noisy than the last primal iterate)."""
+    return hyper.replace(log_step=hyper.da.log_eps_bar)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from mceik_tpu.samplers.base import MHState
+from mceik_tpu.samplers.hmc import DualAveraging, dual_averaging_update
 from mceik_tpu.utils import tree_where
 
 
@@ -45,6 +46,7 @@ class AMFullHyper:
     m2: jnp.ndarray          # (d, d) running scatter (sum of outer prods)
     scales_flat: jnp.ndarray  # (d,) prior scales; 0 marks frozen coords
     reg: jnp.ndarray
+    da: DualAveraging        # dual-averaging state for the step tuner
 
 
 def _ravel(params) -> jnp.ndarray:
@@ -70,13 +72,16 @@ def init_hyper(scales: Any, step_size: float, example_params: Any,
                reg: float = 1e-6) -> AMFullHyper:
     sf = _ravel(scales)
     d = sf.shape[0]
+    log_eps = jnp.asarray(jnp.log(step_size), jnp.float32)
     return AMFullHyper(
-        log_step=jnp.asarray(jnp.log(step_size), jnp.float32),
+        log_step=log_eps,
         count=jnp.asarray(0.0, jnp.float32),
         mean=jnp.zeros((d,), jnp.float32),
         m2=jnp.zeros((d, d), jnp.float32),
         scales_flat=sf.astype(jnp.float32),
         reg=jnp.asarray(reg, jnp.float32),
+        da=DualAveraging(mu=log_eps, log_eps=log_eps, log_eps_bar=log_eps,
+                         h_bar=jnp.asarray(0.0, jnp.float32)),
     )
 
 
@@ -123,11 +128,14 @@ def make_kernel(logpost_fn: Callable) -> Callable:
     return kernel
 
 
-def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
-                 t0: float = 3.0, kappa: float = 0.5) -> Callable:
+def make_adapter(target_accept: float = 0.234) -> Callable:
+    """Dual-averaging step tuner (see am.make_adapter's rationale — RM's
+    proportional control converges too slowly when the start is e-folds
+    off) + pooled full-covariance Welford."""
+
     def adapt(hyper: AMFullHyper, pooled, states: MHState, t):
-        g = gamma0 / (t0 + t) ** kappa
-        log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)
+        da = dual_averaging_update(hyper.da, pooled["accept_prob"], t,
+                                   target=target_accept, gamma=0.1, t0=20.0)
         # Batch Welford merge of all chains' positions into the pooled
         # full-covariance accumulator.
         X = jax.vmap(_ravel)(states.params)            # (C, d)
@@ -140,6 +148,12 @@ def make_adapter(target_accept: float = 0.234, gamma0: float = 1.5,
         delta = bmean - mean0
         mean = mean0 + delta * (C / jnp.maximum(n, 1.0))
         m2 = m20 + bm2 + jnp.outer(delta, delta) * (n0 * C / jnp.maximum(n, 1.0))
-        return hyper.replace(log_step=log_step, count=n, mean=mean, m2=m2)
+        return hyper.replace(log_step=da.log_eps, da=da, count=n, mean=mean,
+                             m2=m2)
 
     return adapt
+
+
+def finalize(hyper: AMFullHyper) -> AMFullHyper:
+    """Post-warmup: freeze the step at the dual-averaged iterate."""
+    return hyper.replace(log_step=hyper.da.log_eps_bar)

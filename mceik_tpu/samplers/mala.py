@@ -24,8 +24,8 @@ forward eikonal solve (BASELINE.md 2026-08-19 r2). The gradient at the
 current point is CACHED in the chain state (MALAState.grad), so each
 step pays exactly one new value_and_grad.
 
-Adaptation: Robbins-Monro on log eps toward the MALA-optimal 0.574
-acceptance; pooled cross-chain full-covariance Welford (shared with
+Adaptation: dual averaging on log eps toward the MALA-optimal 0.574
+acceptance (integral control — see am.make_adapter's rationale); pooled cross-chain full-covariance Welford (shared with
 am_full's AMFullHyper — the psum'd adaptation statistic of SURVEY.md
 §2.4 when chains are sharded), with exponential forgetting so the
 burn-in transient flushes (same rationale as am.make_adapter).
@@ -146,14 +146,16 @@ def make_kernel(logpost_fn: Callable) -> Callable:
     return kernel
 
 
-def make_adapter(target_accept: float = 0.574, gamma0: float = 1.5,
-                 t0: float = 3.0, kappa: float = 0.5,
+def make_adapter(target_accept: float = 0.574,
                  mem_samples: float = 5000.0,
                  adapt_cov: bool = True) -> Callable:
-    """Warmup adapter: Robbins-Monro step toward the Langevin-optimal
-    acceptance + pooled full-covariance Welford with exponential
-    forgetting (effective count capped at mem_samples so the burn-in
-    transient flushes instead of pinning the shape forever).
+    """Warmup adapter: dual-averaging step tuner toward the
+    Langevin-optimal acceptance (see am.make_adapter's rationale — RM's
+    proportional control froze mid-collapse at short warmups, the r4
+    'init-transient rejections drive eps 0.3 -> 0.029' row) + pooled
+    full-covariance Welford with exponential forgetting (effective count
+    capped at mem_samples so the burn-in transient flushes instead of
+    pinning the shape forever).
 
     ``adapt_cov=False`` tunes ONLY the step size — required when the
     covariance was pinned via :func:`prime_covariance` (e.g. the Laplace
@@ -162,12 +164,14 @@ def make_adapter(target_accept: float = 0.574, gamma0: float = 1.5,
     overdispersed burn-in positions corrupt the preconditioner (measured:
     eps driven 1.0 -> 0.27 and per-cell ESS 200 -> 12 on an 11^3 tomo
     problem)."""
+    from mceik_tpu.samplers.hmc import dual_averaging_update
 
     def adapt(hyper: AMFullHyper, pooled, states: MALAState, t):
-        g = gamma0 / (t0 + t) ** kappa
-        log_step = hyper.log_step + g * (pooled["accept_prob"] - target_accept)
+        da = dual_averaging_update(hyper.da, pooled["accept_prob"], t,
+                                   target=target_accept, gamma=0.1, t0=20.0)
+        log_step = da.log_eps
         if not adapt_cov:
-            return hyper.replace(log_step=log_step)
+            return hyper.replace(log_step=log_step, da=da)
         X = jax.vmap(_ravel)(states.params)            # (C, d)
         C = X.shape[0]
         n0, mean0, m20 = hyper.count, hyper.mean, hyper.m2
@@ -179,10 +183,15 @@ def make_adapter(target_accept: float = 0.574, gamma0: float = 1.5,
         mean = mean0 + delta * (C / jnp.maximum(n, 1.0))
         m2 = m20 + bm2 + jnp.outer(delta, delta) * (n0 * C / jnp.maximum(n, 1.0))
         f = jnp.minimum(1.0, mem_samples / jnp.maximum(n, 1.0))
-        return hyper.replace(log_step=log_step, count=n * f, mean=mean,
-                             m2=m2 * f)
+        return hyper.replace(log_step=log_step, da=da, count=n * f,
+                             mean=mean, m2=m2 * f)
 
     return adapt
+
+
+def finalize(hyper: AMFullHyper) -> AMFullHyper:
+    """Post-warmup: freeze the step at the dual-averaged iterate."""
+    return hyper.replace(log_step=hyper.da.log_eps_bar)
 
 
 def prime_covariance(hyper: AMFullHyper, cov, n_prime: float = 1e6,

@@ -1,6 +1,8 @@
 """Sampler kernel correctness on closed-form targets (SURVEY.md §4
 "Unit: samplers"): moment recovery within MC error, acceptance sanity."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,7 +183,8 @@ def test_am_acceptance_stable_across_warmup_lengths(n_warmup):
     ex = init(jax.random.PRNGKey(9))
     result = run_mcmc(am.make_kernel(lp), am.make_adapter(), states,
                       am.init_hyper(scales, 0.3, ex), jax.random.PRNGKey(1),
-                      n_warmup=n_warmup, n_steps=300)
+                      n_warmup=n_warmup, n_steps=300,
+                      finalize_fn=am.finalize)
     acc = float(np.mean(np.asarray(result.accept_trace)))
     assert 0.15 < acc < 0.35, (n_warmup, acc)
 
@@ -253,3 +256,22 @@ def test_mala_frozen_coordinates():
                                   frozen0)
     mean, _ = _pooled_moments(result)
     np.testing.assert_allclose(mean[:2], MEAN, atol=0.3)
+
+
+@pytest.mark.slow
+def test_step_adaptation_warmup_stability_flagship_dim():
+    """VERDICT r4 #6 done-criterion: the dual-averaging step tuner lands
+    post-warmup acceptance inside [0.15, 0.35] at flagship DIMENSION
+    (1728) for short AND long warmups, on a synthetic target with the
+    tomography posterior's GN geometry (soft prior ball + rank-96 stiff
+    data subspace — tools/rm_probe.py). The old Robbins-Monro tuner
+    measured 0.084 (diag, 300 warmup) / 0.144 (am_full, 60 warmup) on
+    the real posterior."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.rm_probe import run as rm_run
+
+    for sampler, warmups in (("am", (50, 300)), ("am_full", (60, 300))):
+        for w in warmups:
+            acc = rm_run(sampler, w, n_steps=200)
+            assert 0.15 < acc < 0.35, (sampler, w, acc)

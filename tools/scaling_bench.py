@@ -146,7 +146,28 @@ def measure_smc_stage(post, n_devices, particles_per_dev, n_mut=3,
         state = stage(state, jax.random.PRNGKey(6 + i))
     jax.block_until_ready(state.log_lik)
     dt = time.perf_counter() - t0
-    return reps * n_particles * n_mut / dt
+
+    # Per-phase split (VERDICT r4 #5: attribute SMC's flat virtual-mesh
+    # scaling): time reweight+resample and mutation SEPARATELY, each
+    # blocked, so the O(n_particles) resample gather can be told apart
+    # from the mutation sweep and from per-call host sync.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(50))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        s2, _ = rw(state, 0.1, 0.3, jax.random.fold_in(k1, i))
+        jax.block_until_ready(s2.log_lik)
+    rw_s = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for i in range(reps):
+        s3, _ = mut(state, 0.3, jax.random.fold_in(k2, i),
+                    post.prior_scales)
+        jax.block_until_ready(s3.log_lik)
+    mut_s = (time.perf_counter() - t0) / reps
+    split = {"reweight_resample_s": round(rw_s, 4),
+             "mutate_s": round(mut_s, 4),
+             "stage_s": round(dt / reps, 4),
+             "sync_overhead_s": round(dt / reps - rw_s - mut_s, 4)}
+    return reps * n_particles * n_mut / dt, split
 
 
 def main():
@@ -158,9 +179,11 @@ def main():
     for which in names:
         results = {}
         for nd in sizes:
+            split = None
             if which == "smc":
                 post = build(ARGS.grid, differentiable=False)
-                rate = measure_smc_stage(post, nd, ARGS.particles_per_dev)
+                rate, split = measure_smc_stage(post, nd,
+                                                ARGS.particles_per_dev)
                 unit = "particle_mutation_steps_per_s"
             else:
                 post = build(ARGS.grid, differentiable=(which == "nuts"))
@@ -170,10 +193,12 @@ def main():
                 unit = "chain_steps_per_s"
             eff = rate / (results[1] * nd) if 1 in results else 1.0
             results[nd] = rate
-            print(json.dumps({"sampler": which, "n_devices": nd,
-                              unit: round(rate, 2),
-                              "efficiency_vs_1dev": round(eff, 3)}),
-                  flush=True)
+            row = {"sampler": which, "n_devices": nd,
+                   unit: round(rate, 2),
+                   "efficiency_vs_1dev": round(eff, 3)}
+            if split:
+                row["phase_split"] = split
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
