@@ -23,6 +23,10 @@ CHECK_BUDGET = {
     "c1_small": (31, 300, 2500),
     "c2_small": (32, 300, 2500),
     "c3_joint_small": (33, 300, 2500),
+    # 216-dim intermediate golden (VERDICT r4 #4): GN-preconditioned MALA
+    # mixes it at tau ~ 12, so a much shorter check window already puts
+    # every cell's ESS in the hundreds.
+    "c2_mid": (34, 300, 1200),
 }
 
 
@@ -50,7 +54,13 @@ def test_golden_moments(name):
     # its 3-D recovery criterion lives in tests/test_recovery3d.py.
     # c3_joint_small tracks the full flat params (u + hypo_raw), so the
     # slowness-only recovery correlation does not apply either.
-    RECOVERY_MIN = {"c1_small": 0.5, "c2_small": None, "c3_joint_small": None}
+    # c2_mid's 6^3 basis samples the (3,3,3)-point checker lobes at ~2.7
+    # grid points per inv cell; the committed golden mean's measured
+    # recovery correlation is 0.20 (basis/acquisition-limited at noise
+    # 0.04), so the correlation criterion does not apply — c2_mid's
+    # purpose is the moment z-test at 216 dims, not structure recovery.
+    RECOVERY_MIN = {"c1_small": 0.5, "c2_small": None, "c3_joint_small": None,
+                    "c2_mid": None}
     if RECOVERY_MIN[name] is not None:
         corr = recovery_corr(name, stats["mean"])
         assert corr > RECOVERY_MIN[name], f"{name}: recovery_corr={corr:.3f}"
