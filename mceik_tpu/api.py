@@ -122,7 +122,7 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
             return (pcn.make_kernel(wv.resid_u),
                     pcn.make_adapter(scfg.target_accept),
                     pcn.init_hyper(wv.scales_u, None, scfg.step_size),
-                    None, wv.resid_u,
+                    pcn.finalize, wv.resid_u,
                     lambda key, n: init_chain_states(wv.resid_u, wv.init_u,
                                                      key, n),
                     wv.params_of)
@@ -140,7 +140,7 @@ def _dispatch_sampler(scfg, posterior, resuming: bool = False):
         return (pcn.make_kernel(posterior.log_lik, nongauss),
                 pcn.make_adapter(scfg.target_accept),
                 pcn.init_hyper(gauss_scales, rw_scales, scfg.step_size),
-                None, state_lp, None, None)
+                pcn.finalize, state_lp, None, None)
     if scfg.algorithm == "hmc":
         target = max(scfg.target_accept, 0.7)
         if scfg.precondition == "whitened":

@@ -92,3 +92,31 @@ def test_prior_sampling_matches_prior_density_shapes():
     assert abs(np.asarray(draws.u).std() - 0.15) < 0.02
     # hypo_raw is standard logistic: std = pi/sqrt(3) ~ 1.814.
     assert abs(np.asarray(draws.hypo_raw).std() - 1.8138) < 0.12
+
+
+def test_pcn_api_tomo_smoke():
+    """API-level pCN on plain tomo (regression: the pcn proposal used to
+    crash on the None params leaves — t0/log_sigma/hypo_raw are None in
+    tomo mode, and is_leaf=None-check routes them into propose())."""
+    import dataclasses as dc
+
+    from mceik_tpu.api import run
+    from mceik_tpu.io.config_io import config_from_dict
+
+    cfg = config_from_dict({
+        "grid": {"shape": [12, 12, 12], "spacing": [1.0, 1.0, 1.0]},
+        "eikonal": {"method": "sweep", "tol": 1e-3, "max_iters": 30,
+                    "use_pallas": "off"},
+        "model": {"mode": "tomo", "inv_shape": [3, 3, 3],
+                  "background_slowness": 1.0, "prior_sigma_u": 0.15,
+                  "sigma": 0.05},
+        "sampler": {"algorithm": "pcn", "n_chains": 2, "n_warmup": 30,
+                    "n_samples": 30, "thin": 2, "step_size": 0.1,
+                    "seed": 0},
+        "data": {"dataset": "checkerboard3d", "n_src": 3, "n_rec": 4,
+                 "noise": 0.05, "seed": 5, "checker_cells": [2, 2, 2],
+                 "checker_amplitude": 0.08},
+    })
+    summary = run(cfg)
+    assert 0.0 < summary.accept_rate < 1.0
+    assert np.isfinite(summary.post_mean["params"].u).all()

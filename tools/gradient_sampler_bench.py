@@ -401,7 +401,8 @@ def run_gpcn(post_g, wv, setup_wall, n_chains=16, n_warmup=300,
 
     (_, samples, lp, acc, wall, hyper, per_step, n_steps) = run_chunked(
         kernel, adapter, states, hyper, jax.random.PRNGKey(2),
-        n_warmup, n_steps, thin, lambda u: wv.params_of(u).u)
+        n_warmup, n_steps, thin, lambda u: wv.params_of(u).u,
+        finalize_fn=pcn_mod.finalize)
     rho = float(jax.nn.sigmoid(hyper.log_rho))
     return summarize("gpcn", wall, n_steps, n_chains, samples, lp,
                      {"accept": round(float(np.mean(acc)), 3),
