@@ -317,6 +317,14 @@ def main():
             "am_eligible": candidates["am"][1],
             "mala_eligible": candidates["mala"][1],
             "nuts_eligible": candidates["nuts"][1],
+            # Window sizes per kernel (VERDICT r4 weak #6): Geyer ESS
+            # error bars scale ~1/sqrt(window); NUTS's 21-draw window is
+            # the eligibility minimum, so its eff estimate carries much
+            # wider error bars than AM's 150-draw one. Long-window
+            # measurements live in BASELINE.md.
+            "window_draws_per_chain": {
+                "am": int(lp150.shape[0]), "mala": int(mlp.shape[0]),
+                "nuts": int(glp.shape[0])},
             "wall_s_am": round(wall_am, 3),
             "wall_s_mala": round(wall_m, 3),
             "wall_s_nuts": round(wall_g, 3),
